@@ -1,0 +1,67 @@
+"""Training-config defaults.
+
+Key-for-key parity with the reference defaults tree
+(/root/reference/defaults.py:5-37) so every published experiment config
+(e.g. configs/experiments/real_data/config.yml) loads unchanged, plus a
+TPU section for mesh/precision knobs the reference had no equivalent of.
+"""
+
+from .config import ConfigNode
+
+# Allowed values, checked at experiment load
+# (reference: experiment_config.py:9-10,37-39).
+VALID_VALUES = {"LOSS_CLIP": ["sigmoid", "rect", "none"]}
+
+
+def get_cfg_defaults() -> ConfigNode:
+    return ConfigNode(
+        {
+            "PANORAMA": True,
+            "SEED": 0,
+            "TRAIN_ON_GROUND_TRUTH": False,
+            "DATASET": "none",
+            "SUB_DATASET": "none",
+            "CLASS_LABEL": "toilet",
+            # 'rect' clamps Bellman targets to [0, 1]; 'sigmoid' is accepted
+            # for config parity but — as in the reference, where build_model
+            # computes the flag and never uses it (train_q_network.py:37,43) —
+            # it does not alter the loss.
+            "LOSS_CLIP": "none",
+            "ARCHITECTURE": "basic",  # 'basic' | 'extra_capacity'
+            "RANDOM_ACTIONS": False,
+            "ONE_ACTION": False,
+            "SEMANTIC_REWARDS": False,
+            "DETECTION_REWARDS": False,
+            "REMOVE_BEFORE_REWARD": False,
+            "USE_INVERSE_ACTIONS": False,
+            "VALUE_LEARNING": False,
+            "PREVIOUS_IMAGES": False,
+            "GAMMA": 0.9,
+            "BOOTSTRAP": False,
+            "BOOTSTRAP_LOCATION": "",
+            "LINEAR": False,
+            "LEARNING_RATE": 1e-3,
+            "NUM_STEPS": int(1e5),
+            "TARGET_UPDATE_INTERVAL": int(8e3),
+            "CHECKPOINT_INTERVAL": int(2e3),
+            "ACTION_HIDDEN_LAYERS": 1,
+            "GUMBEL_TEMP": 0.1,
+            # use detector confidence as reward instead of thresholded binary
+            "CONFIDENCE_REWARD": False,
+            "DISTRIBUTIONAL": False,
+            "KL_BACKWARDS": False,
+            "LOG_SIGMA": False,
+            "VISUALIZATION_DATA_ROOT": "",
+            # ---- TPU-native additions (no reference equivalent) ----
+            "TPU": ConfigNode(
+                {
+                    "BATCH_SIZE": 256,          # reference trained at 16 (train_q_network.py:98)
+                    "COMPUTE_DTYPE": "bfloat16",  # MXU-friendly; params stay float32
+                    "MESH_DATA": -1,             # -1: all devices on the data axis
+                    "MESH_MODEL": 1,
+                    "REMAT": False,              # jax.checkpoint the backbone
+                    "PREFETCH_DEPTH": 2,         # host->HBM double buffering
+                }
+            ),
+        }
+    )
