@@ -1,0 +1,116 @@
+"""Headline benchmark: Q-network double-DQN training frames/sec/chip.
+
+Runs the FULL jitted train step (3 ResNet18 forwards + backward + Adam +
+conditional target sync, uint8->normalize fused on device) on the real
+TPU chip with the published real_data architecture (extra_capacity,
+single-frame, 224x224) in bfloat16 at batch 256, on synthetic
+device-resident batches — isolating the compute path the reference runs
+per sample at batch 16 on a CUDA GPU (train_q_network.py:98,126-181).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference's CUDA GPU is not available in this
+environment; the denominator is the same algorithm measured in PyTorch on
+this host's CPU via scripts/measure_torch_baseline.py (see BASELINE.md for
+the number's provenance and the caveat).
+"""
+
+import json
+import time
+
+# Measured 2026-08-16 on this host (1-core CPU, torch 2.13.0+cpu), batch 16:
+# see BASELINE.md "Measured baselines".
+TORCH_CPU_BASELINE_FPS = None  # filled from BASELINE.md if present
+
+
+def _read_baseline():
+    try:
+        with open("BASELINE.md") as f:
+            for line in f:
+                if line.startswith("TORCH_CPU_FPS="):
+                    return float(line.split("=", 1)[1])
+    except Exception:
+        pass
+    return None
+
+
+def main():
+    import jax
+
+    # persistent compile cache: the axon tunnel's remote compile of the
+    # full train step can take minutes cold; cached runs start in seconds
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_dqn_tpu.data.synthetic import synthetic_batch
+    from video_dqn_tpu.models.qnet import build_qnet
+    from video_dqn_tpu.parallel import make_mesh
+    from video_dqn_tpu.train.dqn import jit_train_step, TrainState
+    from video_dqn_tpu.core import get_cfg_defaults
+    import optax
+
+    batch_size = 256
+    cfg = get_cfg_defaults()
+    cfg.PANORAMA = False
+    cfg.ARCHITECTURE = "extra_capacity"
+    cfg.USE_INVERSE_ACTIONS = True
+    cfg.LOSS_CLIP = "rect"
+    cfg.GAMMA = 0.99
+    cfg.LEARNING_RATE = 1e-4
+
+    mesh = make_mesh(len(jax.devices()), 1)
+    model = build_qnet(cfg)
+    from video_dqn_tpu.models.qnet import init_qnet
+
+    params, batch_stats = init_qnet(model, jax.random.key(0), image_size=224)
+    tx = optax.adam(cfg.LEARNING_RATE)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        target_params=jax.tree_util.tree_map(jnp.copy, params),
+        target_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
+        opt_state=tx.init(params),
+        ema_loss=jnp.zeros((), jnp.float32),
+    )
+    step_fn, state, _ = jit_train_step(model, cfg, tx, mesh, state)
+
+    host = synthetic_batch(batch_size=batch_size, num_frames=1, image_size=224)
+    from video_dqn_tpu.parallel import shard_batch
+
+    batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in host.items()})
+
+    # compile + warmup
+    state, m = step_fn(state, batch)
+    jax.block_until_ready(m["loss"])
+    for _ in range(2):
+        state, m = step_fn(state, batch)
+    jax.block_until_ready(m["loss"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step_fn(state, batch)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = len(jax.devices())
+    fps_per_chip = batch_size * iters / dt / n_chips
+    baseline = _read_baseline()
+    vs = round(fps_per_chip / baseline, 2) if baseline else None
+    print(
+        json.dumps(
+            {
+                "metric": "qnet_train_frames_per_sec_per_chip",
+                "value": round(fps_per_chip, 1),
+                "unit": "frames/sec/chip",
+                "vs_baseline": vs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Evaluation runner CLI — public entry point parity with the reference
+(`python evaluation/runner.py <config.yml> [-d] [-v]`,
+/root/reference/evaluation/runner.py:99-141). The -g/-p/-s/-r/--episodes
+flags are accepted for drop-in compatibility (-s/--episodes actually work
+here, unlike the reference where they were parsed but dead, :117-130)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser(description="simulate policy (TPU)")
+    parser.add_argument("-g", "--gpu", default="0", help="ignored (compat)")
+    parser.add_argument("-p", "--profile", action="store_true",
+                        help="enable jax profiler trace")
+    parser.add_argument("-d", "--debug", action="store_true",
+                        help="debug mode, no writing to results files")
+    parser.add_argument("-s", "--start", default=0, type=int,
+                        help="episode index to start at")
+    parser.add_argument("--episodes", dest="episodes_to_run", default=None,
+                        help="comma-separated episode indices")
+    parser.add_argument("-v", "--visualize", action="store_true")
+    parser.add_argument("--fake-env", action="store_true",
+                        help="run against the built-in fake environment")
+    parser.add_argument("config", help="eval config yml")
+    args = parser.parse_args()
+
+    import numpy as np
+
+    from video_dqn_tpu.eval import load_file, run_policy
+
+    config = load_file(args.config)
+
+    episodes = None
+    if os.path.exists("evaluation/val_episodes.npy"):
+        episodes = np.load("evaluation/val_episodes.npy", allow_pickle=True)
+    if episodes is not None:
+        if args.episodes_to_run:
+            idx = [int(i) for i in args.episodes_to_run.split(",")]
+            episodes = episodes[idx]
+        elif args.start:
+            episodes = episodes[args.start:]
+
+    kwargs = {}
+    if args.fake_env or episodes is None:
+        # no licensed Gibson assets: exercise the full loop on the fake env
+        from video_dqn_tpu.eval.fixtures import make_env_and_episode
+
+        env, house, ep = make_env_and_episode()
+        episodes = np.array([ep], dtype=object)
+        kwargs = {
+            "env_factory": lambda h, mc, c: make_env_and_episode()[0],
+            "house_factory": lambda name: house,
+        }
+
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace("/tmp/jax_trace")
+    run_policy(config, episodes=episodes, debug=args.debug,
+               visualize_every=(1 if args.visualize else 100), **kwargs)
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+
+    from video_dqn_tpu.eval import display_results
+
+    display_results(config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,18 +1,30 @@
 """Test harness: run all JAX on a virtual 8-device CPU platform so the
 multi-chip sharding paths are exercised without TPU hardware.
 
-Must set env vars before any `import jax` anywhere: JAX_PLATFORM_NAME
-(JAX_PLATFORMS alone is overridden by the axon TPU plugin in this image).
+This image's axon sitecustomize imports jax at interpreter startup, so
+env vars alone are too late; jax is already imported. Backends initialize
+lazily though, so forcing the platform through jax.config before the
+first jax.devices() call still selects the 8-device CPU platform.
 """
 
 import os
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
+
+assert len(jax.devices()) == 8, (
+    f"test harness needs 8 virtual CPU devices, got {jax.devices()}"
+)
 
 
 @pytest.fixture(scope="session")

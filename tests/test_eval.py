@@ -1,0 +1,139 @@
+"""Evaluation-harness tests: naming contract, config loading, fake-env
+end-to-end episodes with the oracle scorer, results readout."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from video_dqn_tpu.eval import (
+    display_results,
+    get_eval_defaults,
+    load_file,
+    make_geodesic_scorer,
+    name_from_config,
+    ours_evaluate,
+    run_policy,
+)
+from video_dqn_tpu.eval.fixtures import FakeHouse, make_env_and_episode
+from video_dqn_tpu.plan.mapper import DepthMapperAndPlanner
+from video_dqn_tpu.sim.fake_env import FakeNavEnv
+
+
+def eval_cfg(**over):
+    cfg = get_eval_defaults()
+    for k, v in over.items():
+        cfg[k] = v
+    return cfg
+
+
+def small_planner(env):
+    p = DepthMapperAndPlanner(dt=30, map_size_cm=2500, mark_locs=True,
+                              close_small_openings=True)
+    return p
+
+
+def test_name_from_config_contract():
+    cfg = eval_cfg(SCORE="model", MODEL_NAME="vlv", SLAM=True,
+                   BACKTRACK_REJECTION=True, CONSISTENCY_WEIGHT=0.5,
+                   COMBINE_DETECTOR=True, CONFIDENCE_THRESHOLD=0.9,
+                   SEED=2, STAIRS=True)
+    assert name_from_config(cfg) == (
+        "vlv_spl_slam_rejection_combined0.9_consistency0.5_seed2_with_stairs"
+    )
+    assert name_from_config(eval_cfg()) == "geodesic_spl"
+    assert name_from_config(eval_cfg(TOTAL_RANDOM=True)) == "total_random"
+    assert name_from_config(eval_cfg(MODEL_NUMBER=150000)) == (
+        "geodesic_spl_model150000"
+    )
+
+
+def test_load_file_inherit_and_model_config(tmp_path):
+    model_dir = tmp_path / "model_exp"
+    model_dir.mkdir()
+    (model_dir / "config.yml").write_text(
+        yaml.safe_dump({"PANORAMA": False, "GAMMA": 0.99})
+    )
+    base = tmp_path / "base.yml"
+    base.write_text(yaml.safe_dump({"SLAM": True, "SEED": 3}))
+    child = tmp_path / "child.yml"
+    child.write_text(
+        yaml.safe_dump(
+            {
+                "INHERIT": str(base),
+                "SCORE": "model",
+                "MODEL_CONFIG_LOCATION": str(model_dir),
+            }
+        )
+    )
+    cfg = load_file(str(child))
+    assert cfg.SLAM is True and cfg.SEED == 3  # inherited
+    assert cfg.SCORE == "model"
+    assert cfg.MODEL_CONFIG.GAMMA == 0.99
+    assert cfg.is_frozen
+
+
+def test_episode_oracle_scorer_reaches_goal():
+    """End-to-end: geodesic-oracle scorer on the fake maze must reach an
+    easy same-room goal with positive SPL."""
+    env, house, ep = make_env_and_episode()
+    cfg = eval_cfg(SLAM=True, SEED=1)
+    scorer = make_geodesic_scorer(env)
+    spl = ours_evaluate(cfg, env, ep, house, 0, scorer, visualize=False,
+                        planner=small_planner(env))
+    assert spl > 0, f"episode failed, spl={spl}"
+
+
+def test_episode_unreachable_goal_returns_zero():
+    env, house, ep = make_env_and_episode()
+    ep = (*ep[:3], float("inf"), *ep[4:])
+    cfg = eval_cfg()
+    spl = ours_evaluate(cfg, env, ep, house, 0, make_geodesic_scorer(env),
+                        planner=small_planner(env))
+    assert spl == 0
+
+
+def test_stop_mode_returns_log():
+    env, house, ep = make_env_and_episode()
+    cfg = eval_cfg(STOP=True, SLAM=True, SEED=1)
+    out = ours_evaluate(cfg, env, ep, house, 0, make_geodesic_scorer(env),
+                        planner=small_planner(env))
+    assert isinstance(out, np.ndarray)
+
+
+def test_run_policy_and_results(tmp_path):
+    env, house, ep = make_env_and_episode()
+    cfg = eval_cfg(SLAM=True, SEED=1,
+                   RESULT_LOCATION=str(tmp_path / "results"))
+    episodes = np.array([ep, ep], dtype=object)
+
+    def env_factory(house_obj, model_config, config):
+        e, _, _ = make_env_and_episode()
+        return e
+
+    def scorer_factory(e, class_index):
+        return make_geodesic_scorer(e)
+
+    run_policy(
+        cfg,
+        episodes=episodes,
+        env_factory=env_factory,
+        house_factory=lambda name: house,
+        scorer_factory=scorer_factory,
+        visualize_every=1000,
+    )
+    mean = display_results(cfg, quiet=True)
+    assert mean is not None and mean >= 0
+
+
+def test_batched_matches_sequential_reasoning_candidates():
+    """BATCHED_REASONING merges 12 per-view programs into one; candidate
+    waypoints still appear and episodes still complete."""
+    for batched in (True, False):
+        env, house, ep = make_env_and_episode()
+        cfg = eval_cfg(SLAM=True, SEED=1, BATCHED_REASONING=batched)
+        spl = ours_evaluate(cfg, env, ep, house, 0, make_geodesic_scorer(env),
+                            planner=small_planner(env))
+        assert spl >= 0

@@ -1,0 +1,162 @@
+"""Golden-output parity tests: Flax models + torch->flax converters vs
+minimal PyTorch mirrors with torchvision-compatible state_dict naming.
+
+Float32 everywhere (parity testing, not perf); tolerances account for
+conv-algorithm differences between XLA-CPU and torch-CPU.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from video_dqn_tpu.models import (
+    AlexNetPlaces365,
+    HabitatDQN,
+    InverseActionModel,
+    ResNet18,
+)
+from video_dqn_tpu.models.torch_convert import (
+    convert_alexnet_places,
+    convert_inverse,
+    convert_qnet,
+    convert_resnet18,
+)
+from tests.torch_ref import (
+    TorchAlexNet,
+    TorchHabitatDQN,
+    TorchInverseModel,
+    TorchResNet18,
+)
+
+ATOL = 2e-3  # logits-scale tolerance for full-depth nets
+
+
+def randomize(module, seed=0):
+    """Fill with fan-in-scaled random weights: realistic conditioning so
+    numerical error does not get amplified through the deep stacks."""
+    g = torch.Generator().manual_seed(seed)
+    sd = module.state_dict()
+    for k, v in sd.items():
+        if k.endswith("running_var"):
+            sd[k] = torch.rand(v.shape, generator=g) * 0.5 + 0.5
+        elif k.endswith("num_batches_tracked"):
+            continue
+        elif v.dim() >= 2:
+            fan_in = int(np.prod(v.shape[1:]))
+            sd[k] = torch.randn(v.shape, generator=g) / np.sqrt(fan_in)
+        else:
+            sd[k] = torch.randn(v.shape, generator=g) * 0.1
+    module.load_state_dict(sd)
+    module.eval()
+    return module
+
+
+def nchw(x):
+    return torch.tensor(np.moveaxis(x, -1, 1))
+
+
+def test_resnet18_forward_parity(rng):
+    tm = randomize(TorchResNet18())
+    params, stats = convert_resnet18(tm.state_dict(), include_fc=True)
+    model = ResNet18(features="logits", dtype=jnp.float32)
+    x = rng.standard_normal((2, 96, 96, 3), dtype=np.float32)
+    with torch.no_grad():
+        want = tm(nchw(x)).numpy()
+    got = model.apply({"params": params, "batch_stats": stats}, x, False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+
+def test_resnet18_conv_and_pool_taps(rng):
+    tm = randomize(TorchResNet18())
+    params, stats = convert_resnet18(tm.state_dict())
+    x = rng.standard_normal((1, 96, 96, 3), dtype=np.float32)
+    conv = ResNet18(features="conv", dtype=jnp.float32).apply(
+        {"params": params, "batch_stats": stats}, x, False
+    )
+    assert conv.shape == (1, 3, 3, 512)
+    pool = ResNet18(features="pool", dtype=jnp.float32).apply(
+        {"params": params, "batch_stats": stats}, x, False
+    )
+    np.testing.assert_allclose(
+        np.asarray(pool), np.asarray(conv).mean(axis=(1, 2)), atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("panorama", [False, True])
+def test_qnet_extra_capacity_parity(rng, panorama):
+    tm = randomize(TorchHabitatDQN(3, extra_capacity=True, panorama=panorama).finish(96))
+    f = 4 if panorama else 1
+    params, stats = convert_qnet(tm.state_dict(), True, f, head_hw=(1, 1))
+    model = HabitatDQN(action_dim=3, extra_capacity=True, panorama=panorama,
+                       dtype=jnp.float32)
+    x = rng.standard_normal((2, f, 96, 96, 3), dtype=np.float32)
+    with torch.no_grad():
+        want = tm(nchw(x.reshape(2 * f, 96, 96, 3)).reshape(2, f, 3, 96, 96)).numpy()
+    got = model.apply({"params": params, "batch_stats": stats}, x, False)
+    assert got.shape == (2, 5, 3)
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+
+def test_qnet_basic_parity(rng):
+    tm = randomize(TorchHabitatDQN(1, extra_capacity=False, panorama=False).finish(96))
+    params, stats = convert_qnet(tm.state_dict(), False, 1)
+    model = HabitatDQN(action_dim=1, extra_capacity=False, panorama=False,
+                       dtype=jnp.float32)
+    x = rng.standard_normal((2, 96, 96, 3), dtype=np.float32)
+    with torch.no_grad():
+        want = tm(nchw(x)).numpy()
+    got = model.apply({"params": params, "batch_stats": stats}, x, False)
+    assert got.shape == (2, 5, 1)
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+
+def test_qnet_rejects_bad_frame_count(rng):
+    model = HabitatDQN(panorama=True, dtype=jnp.float32)
+    x = jnp.zeros((1, 2, 64, 64, 3))
+    with pytest.raises(ValueError):
+        model.init(jax.random.key(0), x, False)
+
+
+def test_inverse_model_parity(rng):
+    tm = randomize(TorchInverseModel().finish(224))
+    params, stats = convert_inverse(tm.state_dict())
+    model = InverseActionModel(dtype=jnp.float32)
+    a = rng.standard_normal((2, 224, 224, 3), dtype=np.float32)
+    b = rng.standard_normal((2, 224, 224, 3), dtype=np.float32)
+    with torch.no_grad():
+        want_enc, want_cal = tm(nchw(a), nchw(b))
+    got_enc, got_cal = model.apply(
+        {"params": params, "batch_stats": stats}, a, b, False
+    )
+    np.testing.assert_allclose(np.asarray(got_cal), want_cal.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(got_enc), want_enc.numpy(), atol=1e-3)
+
+
+def test_alexnet_places_parity(rng):
+    tm = randomize(TorchAlexNet())
+    params, _ = convert_alexnet_places(tm.state_dict())
+    model = AlexNetPlaces365(dtype=jnp.float32)
+    x = rng.standard_normal((2, 224, 224, 3), dtype=np.float32)
+    with torch.no_grad():
+        want = tm(nchw(x)).numpy()
+    got = model.apply({"params": params}, x, False)
+    assert got.shape == (2, 365)
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+
+def test_qnet_bf16_matches_fp32_coarsely(rng):
+    """The production dtype policy (bf16 compute, fp32 params) must track
+    the fp32 forward within bf16 noise."""
+    model32 = HabitatDQN(action_dim=3, extra_capacity=True, panorama=False,
+                         dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 1, 96, 96, 3), dtype=np.float32))
+    variables = model32.init(jax.random.key(0), x, False)
+    q32 = model32.apply(variables, x, False)
+    model16 = HabitatDQN(action_dim=3, extra_capacity=True, panorama=False,
+                         dtype=jnp.bfloat16)
+    q16 = model16.apply(variables, x, False)
+    assert q16.dtype == jnp.float32  # head casts back
+    np.testing.assert_allclose(np.asarray(q16), np.asarray(q32), atol=0.15, rtol=0.1)

@@ -1,0 +1,241 @@
+"""Double-DQN train-step tests: loss-math oracles, target-sync timing,
+checkpoint/resume, and a multichip-sharded end-to-end smoke on the
+virtual 8-device CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+from video_dqn_tpu.core import ExperimentConfig, get_cfg_defaults, latest_checkpoint_step
+from video_dqn_tpu.data.synthetic import make_synthetic_dataset, synthetic_batch
+from video_dqn_tpu.models.qnet import HabitatDQN
+from video_dqn_tpu.train.dqn import (
+    create_train_state,
+    jit_train_step,
+    make_loss_fn,
+    make_train_step,
+    run_train,
+)
+
+
+def tiny_config(**over):
+    cfg = get_cfg_defaults()
+    cfg.PANORAMA = False
+    # extra_capacity (the published arch) keeps backbone BN in eval mode,
+    # which makes the loss math deterministic and oracle-comparable.
+    cfg.ARCHITECTURE = "extra_capacity"
+    cfg.USE_INVERSE_ACTIONS = True
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.merge_from_dict(over.pop("nested", {}))
+    for k, v in over.items():
+        parts = k.split(".")
+        node = cfg
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = v
+    return cfg
+
+
+def small_batch(b=4, size=96, seed=0):
+    return {
+        k: jnp.asarray(v) for k, v in synthetic_batch(b, 1, size, seed=seed).items()
+    }
+
+
+def make_small(cfg, size=96):
+    """create_train_state but with small init images for CPU speed."""
+    import optax
+    from video_dqn_tpu.models.qnet import build_qnet, init_qnet
+    from video_dqn_tpu.train.dqn import TrainState
+
+    model = build_qnet(cfg)
+    params, batch_stats = init_qnet(model, jax.random.key(0), image_size=size)
+    tx = optax.adam(cfg.LEARNING_RATE)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        target_params=jax.tree_util.tree_map(jnp.copy, params),
+        target_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
+        opt_state=tx.init(params),
+        ema_loss=jnp.zeros((), jnp.float32),
+    )
+    return model, state, tx
+
+
+def oracle_loss(model, state, batch, *, gamma, linear=False, rect=False,
+                remove_before=False):
+    """Numpy oracle of the reference loss math
+    (train_q_network.py:126-181), using the model only as a black-box Q."""
+    from video_dqn_tpu.ops.image import normalize_imagenet
+
+    prep = lambda im: normalize_imagenet(jnp.asarray(im).astype(jnp.float32) / 255.0)
+    v = {"params": state.params, "batch_stats": state.batch_stats}
+    tv = {"params": state.target_params, "batch_stats": state.target_batch_stats}
+    q_b_all = np.asarray(model.apply(v, prep(batch["before"]), False))
+    q_a_online = np.asarray(model.apply(v, prep(batch["after"]), False))
+    q_a_target = np.asarray(model.apply(tv, prep(batch["after"]), False))
+    act = np.asarray(batch["action"])
+    B, C, A = q_b_all.shape
+    q_b = q_b_all[np.arange(B)[:, None], np.arange(C)[None, :], act[:, None]]
+    best = q_a_online.argmax(-1)
+    q_a = q_a_target[np.arange(B)[:, None], np.arange(C)[None, :], best]
+    q_a = q_a * (1 - np.asarray(batch["terminal"]))
+    if linear:
+        targets = np.asarray(batch["reward"]) + (q_a - 0.1)
+    else:
+        targets = np.asarray(batch["reward"]) + gamma * q_a
+    if rect:
+        targets = np.clip(targets, 0, 1)
+    losses = 0.5 * (q_b - targets) ** 2
+    if remove_before:
+        losses = losses * np.asarray(batch["valid_mask"])
+    return losses.mean()
+
+
+@pytest.mark.parametrize("variant", ["plain", "rect", "linear", "remove_before"])
+def test_loss_matches_reference_math(variant):
+    cfg = tiny_config(
+        **{
+            "LOSS_CLIP": "rect" if variant == "rect" else "none",
+            "LINEAR": variant == "linear",
+            "REMOVE_BEFORE_REWARD": variant == "remove_before",
+            "GAMMA": 0.9,
+        }
+    )
+    model, state, _ = make_small(cfg)
+    batch = small_batch()
+    if variant == "remove_before":
+        batch = dict(batch)
+        batch["valid_mask"] = (jnp.arange(20).reshape(4, 5) % 2).astype(jnp.float32)
+    loss_fn = make_loss_fn(model, cfg)
+    got, _ = loss_fn(state.params, state.target_params, state.batch_stats,
+                     state.target_batch_stats, batch)
+    want = oracle_loss(
+        model, state, batch, gamma=0.9,
+        linear=(variant == "linear"), rect=(variant == "rect"),
+        remove_before=(variant == "remove_before"),
+    )
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_gt_value_learning_nan_mask():
+    cfg = tiny_config(TRAIN_ON_GROUND_TRUTH=True, VALUE_LEARNING=True)
+    model, state, _ = make_small(cfg)
+    batch = small_batch()
+    batch = dict(batch)
+    # VALUE_LEARNING collapses to a single-action head; labels are 0
+    # (reference uses one_action in this mode, train_q_network.py:38-41,99)
+    batch["action"] = jnp.zeros_like(batch["action"])
+    gt = np.asarray(batch["gt"]).copy()
+    gt[0, :] = np.nan  # no-reward samples must be masked, not NaN the loss
+    batch["gt"] = jnp.asarray(gt)
+    loss_fn = make_loss_fn(model, cfg)
+    got, _ = loss_fn(state.params, state.target_params, state.batch_stats,
+                     state.target_batch_stats, batch)
+    assert np.isfinite(float(got))
+    from video_dqn_tpu.ops.image import normalize_imagenet
+    q = np.asarray(
+        model.apply({"params": state.params, "batch_stats": state.batch_stats},
+                    normalize_imagenet(jnp.asarray(batch["before"]).astype(jnp.float32) / 255.0),
+                    False)
+    )
+    act = np.asarray(batch["action"])
+    B, C, A = q.shape
+    q_b = q[np.arange(B)[:, None], np.arange(C)[None, :], act[:, None]]
+    mask = ~np.isnan(gt)
+    want = (0.5 * (q_b * mask - np.nan_to_num(gt)) ** 2).mean()
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_target_sync_interval():
+    cfg = tiny_config(TARGET_UPDATE_INTERVAL=2)
+    model, state, tx = make_small(cfg)
+    step_fn = jax.jit(make_train_step(model, cfg, tx))
+    b1 = small_batch(seed=1)
+    # step 1: no sync — target stays at init while params move
+    state, _ = step_fn(state, b1)
+    p = jax.device_get(state.params["top_dense1"]["kernel"])
+    t = jax.device_get(state.target_params["top_dense1"]["kernel"])
+    assert not np.allclose(p, t)
+    # step 2: sync happens BEFORE the update -> target == params at step 1
+    p_before = jax.device_get(state.params["top_dense1"]["kernel"])
+    state, _ = step_fn(state, small_batch(seed=2))
+    t2 = jax.device_get(state.target_params["top_dense1"]["kernel"])
+    np.testing.assert_allclose(t2, p_before, atol=1e-7)
+
+
+def test_train_smoke_end_to_end(tmp_path, mesh8):
+    """Minimum end-to-end slice (SURVEY.md section 7 stage 3): synthetic
+    feather -> sharded jitted training -> checkpoint -> resume."""
+    feather = make_synthetic_dataset(str(tmp_path / "ds"), num_videos=2,
+                                     frames_per_video=16, image_size=64)
+    folder = tmp_path / "exp"
+    folder.mkdir()
+    (folder / "config.yml").write_text(
+        yaml.safe_dump(
+            {
+                "DATASET": feather,
+                "PANORAMA": False,
+                "ARCHITECTURE": "basic",
+                "USE_INVERSE_ACTIONS": True,
+                "CHECKPOINT_INTERVAL": 3,
+                "NUM_STEPS": 6,
+                "TARGET_UPDATE_INTERVAL": 4,
+                "TPU": {"BATCH_SIZE": 8, "COMPUTE_DTYPE": "float32"},
+            }
+        )
+    )
+    config = ExperimentConfig(str(folder), tensorboard=False)
+    from video_dqn_tpu.data.qlearning import QLearningBatcher
+
+    batcher = QLearningBatcher(feather, one_action=True, inverse_actions=True,
+                               image_size=64, seed=0)
+    state, _ = run_train(config, batcher=batcher, mesh=mesh8, log_every=2)
+    assert int(jax.device_get(state.step)) == 6
+    assert latest_checkpoint_step(config.models_dir) == 6
+    assert np.isfinite(float(jax.device_get(state.ema_loss)))
+
+    # resume from 3 and retrain to 6
+    config2 = ExperimentConfig(str(folder), resume=True, tensorboard=False)
+    state2, _ = run_train(config2, resume_from=3, batcher=batcher, mesh=mesh8,
+                          log_every=2)
+    assert int(jax.device_get(state2.step)) == 6
+
+
+def test_batchnorm_mode_semantics():
+    """extra_capacity freezes backbone BN during training (reference
+    set_train, HabitatDQNMultiAction.py:37-40); basic trains it."""
+    import optax
+
+    for arch, should_change in [("extra_capacity", False), ("basic", True)]:
+        cfg = tiny_config(ARCHITECTURE=arch)
+        model, state, tx = make_small(cfg, size=96)
+        step_fn = jax.jit(make_train_step(model, cfg, tx))
+        before_stats = jax.device_get(state.batch_stats)
+        state2, _ = step_fn(state, small_batch(b=2, size=96))
+        after_stats = jax.device_get(state2.batch_stats)
+        leaves_b = jax.tree_util.tree_leaves(before_stats)
+        leaves_a = jax.tree_util.tree_leaves(after_stats)
+        changed = any(
+            not np.allclose(a, b) for a, b in zip(leaves_a, leaves_b)
+        )
+        assert changed == should_change, arch
+
+
+def test_multichip_sharding_applied(mesh8):
+    cfg = tiny_config(**{"TPU.MESH_MODEL": 2})
+    model, state, tx = make_small(cfg)
+    step_fn, sharded, shardings = jit_train_step(model, cfg, tx, mesh8, state)
+    k = sharded.params["top_dense1"]["kernel"]
+    # Q-head kernels shard over the model axis
+    assert "model" in str(k.sharding.spec)
+    state2, metrics = step_fn(sharded, small_batch(b=8))
+    assert np.isfinite(float(metrics["loss"]))
+    k2 = state2.params["top_dense1"]["kernel"]
+    assert k2.sharding.spec == k.sharding.spec

@@ -25,7 +25,7 @@ def checkpoint_path(models_dir: str, step: int) -> str:
 
 def save_checkpoint(models_dir: str, step: int, tree: Dict[str, Any]) -> str:
     os.makedirs(models_dir, exist_ok=True)
-    host_tree = jax.device_get(tree)
+    host_tree = serialization.to_state_dict(jax.device_get(tree))
     payload = serialization.msgpack_serialize(
         {"sample_number": step, "state": host_tree}, in_place=True
     )

@@ -1,0 +1,37 @@
+"""Eval fixtures: a GibsonHouse-shaped stub plus episode construction on
+the fake raycasting env — the asset-free counterpart of the reference's
+bundled habitat-test-scenes (SURVEY.md section 4)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from video_dqn_tpu.sim.fake_env import FakeNavEnv
+from video_dqn_tpu.sim.gibson import CLASS_LABELS
+
+
+class FakeHouse:
+    """GibsonHouse stand-in: one object of every class at `goal_pos`."""
+
+    def __init__(self, goal_pos):
+        self.name = "FakeHouse"
+        corners = [
+            np.asarray(goal_pos) + np.array([dx, 0, dz]) * 0.2
+            for dx, dz in [(1, 1), (1, -1), (-1, -1), (-1, 1)]
+        ]
+        self.objects = {c: [corners] for c in CLASS_LABELS}
+        self.object_locations_for_habitat_dest = {c: list(corners) for c in CLASS_LABELS}
+        self.num_floors = 1
+
+
+def make_env_and_episode(goal_cells=(6, 6), start_cells=(2, 2), size=32):
+    """(env, house, episode-tuple) with a same-room goal in the default maze."""
+    env = FakeNavEnv(image_size=size)
+    goal = np.array([goal_cells[0] * env.cell, 0.0, goal_cells[1] * env.cell])
+    start = np.array([start_cells[0] * env.cell, 0.0, start_cells[1] * env.cell])
+    env.goals = [goal]
+    env.set_agent_state(start, 0.0)
+    gd = env.geodesic_distance(start, goal)
+    house = FakeHouse(goal)
+    ep = ("FakeHouse", 0, "toilet", gd, start, 0.0)
+    return env, house, ep

@@ -1,0 +1,97 @@
+"""ResNet-18 backbone in Flax (NHWC, MXU-friendly).
+
+TPU-native re-design of the torchvision `resnet18` the reference builds on
+(/root/reference/archs/HabitatDQNMultiAction.py:12,30-34 and
+/root/reference/archs/inverse_action2.py:50-57): NHWC layout, bfloat16
+compute with float32 params/batch-stats, explicit torch-compatible padding
+so converted pretrained weights are bit-comparable, and a single batched
+pass over all panorama frames instead of a Python loop.
+
+Feature taps:
+  - 'conv': through layer4 -> (B, 7, 7, 512)   [torch children()[:-2]]
+  - 'pool': + global average pool -> (B, 512)   [torch children()[:-1]]
+  - 'logits': + fc -> (B, num_classes)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs with identity (or 1x1-projected) skip."""
+
+    filters: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )
+        conv = partial(
+            nn.Conv,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )
+        residual = x
+        y = conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                 padding=((1, 1), (1, 1)), name="conv1")(x)
+        y = norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(self.filters, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(y)
+        y = norm(name="bn2")(y)
+        if residual.shape[-1] != self.filters or self.stride != 1:
+            residual = conv(self.filters, (1, 1),
+                            strides=(self.stride, self.stride),
+                            padding="VALID", name="downsample_conv")(x)
+            residual = norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet18(nn.Module):
+    """Stages of (2,2,2,2) BasicBlocks at (64,128,256,512) filters."""
+
+    features: str = "pool"  # 'conv' | 'pool' | 'logits'
+    num_classes: int = 1000
+    dtype: Dtype = jnp.float32
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    widths: Sequence[int] = (64, 128, 256, 512)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                    name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for stage, (n_blocks, width) in enumerate(zip(self.stage_sizes, self.widths)):
+            for block in range(n_blocks):
+                stride = 2 if (stage > 0 and block == 0) else 1
+                x = BasicBlock(width, stride=stride, dtype=self.dtype,
+                               name=f"layer{stage + 1}_{block}")(x, train=train)
+        if self.features == "conv":
+            return x
+        x = jnp.mean(x, axis=(1, 2))
+        if self.features == "pool":
+            return x
+        x = nn.Dense(self.num_classes, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc")(x)
+        return x

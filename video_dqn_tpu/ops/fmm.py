@@ -1,0 +1,131 @@
+"""Fast-marching distances on masked grids.
+
+Replaces the reference's scikit-fmm dependency
+(/root/reference/evaluation/slam.py:19-30: masked grid, goal cell zeroed,
+dx=1). Two engines:
+
+  * native: heap-based C++ eikonal solver (native/fmm/libfmm.so via
+    ctypes), auto-built on first use — the production path;
+  * python: identical algorithm in numpy+heapq, used as a correctness
+    oracle in tests and as a fallback when no compiler is available.
+
+Distances are in grid units; masked/unreachable cells are +inf.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import heapq
+import os
+import subprocess
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native", "fmm")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libfmm.so"))
+_lib = None
+_lib_tried = False
+
+
+def _load_native():
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
+        return _lib
+    _lib_tried = True
+    try:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(
+                ["make", "-s"], cwd=os.path.abspath(_NATIVE_DIR), check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.fmm_distance.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.fmm_distance.restype = None
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def fmm_distance(
+    traversible: np.ndarray,
+    goals: Sequence[Tuple[int, int]],
+    engine: Optional[str] = None,
+) -> np.ndarray:
+    """traversible: (H, W) bool; goals: list of (y, x) seed cells.
+    Returns float64 (H, W) distances (+inf where masked/unreached)."""
+    mask = np.ascontiguousarray(traversible.astype(np.uint8))
+    h, w = mask.shape
+    gy = np.ascontiguousarray([g[0] for g in goals], np.int32)
+    gx = np.ascontiguousarray([g[1] for g in goals], np.int32)
+
+    lib = _load_native() if engine in (None, "native") else None
+    if lib is not None and engine != "python":
+        out = np.empty(h * w, np.float64)
+        lib.fmm_distance(
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            h,
+            w,
+            gy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            gx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(goals),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return out.reshape(h, w)
+    return _fmm_python(mask, list(zip(gy.tolist(), gx.tolist())))
+
+
+def _solve_eikonal(tx: float, ty: float) -> float:
+    tmin, tmax = (tx, ty) if tx < ty else (ty, tx)
+    if tmax == np.inf:
+        return tmin + 1.0
+    diff = tmax - tmin
+    if diff >= 1.0:
+        return tmin + 1.0
+    s = tx + ty
+    disc = s * s - 2.0 * (tx * tx + ty * ty - 1.0)
+    return 0.5 * (s + np.sqrt(disc))
+
+
+def _fmm_python(mask: np.ndarray, goals) -> np.ndarray:
+    h, w = mask.shape
+    out = np.full((h, w), np.inf)
+    accepted = np.zeros((h, w), bool)
+    heap = []
+    for y, x in goals:
+        if 0 <= y < h and 0 <= x < w and mask[y, x]:
+            out[y, x] = 0.0
+            heapq.heappush(heap, (0.0, y, x))
+    while heap:
+        t, cy, cx = heapq.heappop(heap)
+        if accepted[cy, cx]:
+            continue
+        accepted[cy, cx] = True
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            ny, nx = cy + dy, cx + dx
+            if not (0 <= ny < h and 0 <= nx < w):
+                continue
+            if not mask[ny, nx] or accepted[ny, nx]:
+                continue
+            tx = min(
+                out[ny, nx - 1] if nx > 0 and mask[ny, nx - 1] else np.inf,
+                out[ny, nx + 1] if nx < w - 1 and mask[ny, nx + 1] else np.inf,
+            )
+            ty = min(
+                out[ny - 1, nx] if ny > 0 and mask[ny - 1, nx] else np.inf,
+                out[ny + 1, nx] if ny < h - 1 and mask[ny + 1, nx] else np.inf,
+            )
+            tt = _solve_eikonal(tx, ty)
+            if tt < out[ny, nx]:
+                out[ny, nx] = tt
+                heapq.heappush(heap, (tt, ny, nx))
+    return out

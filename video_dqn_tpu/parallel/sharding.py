@@ -22,10 +22,13 @@ from .mesh import MODEL_AXIS
 def _spec_for(path: tuple, leaf) -> P:
     names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
     joined = "/".join(str(n) for n in names)
-    if "top" in joined and leaf.ndim == 2:
-        # Dense kernels in the Q-head: shard output features.
+    # Dense layers in the Q-head shard their OUTPUT features over 'model';
+    # only dims that are multiples of 128 (lane width) are sharded so any
+    # mesh up to 128-way TP divides evenly and tiles stay MXU-aligned —
+    # the final A*C(=15)-wide layer and all biases below 128 replicate.
+    if "top" in joined and leaf.ndim == 2 and leaf.shape[1] % 128 == 0:
         return P(None, MODEL_AXIS)
-    if "top" in joined and leaf.ndim == 1:
+    if "top" in joined and leaf.ndim == 1 and leaf.shape[0] % 128 == 0:
         return P(MODEL_AXIS)
     return P()
 

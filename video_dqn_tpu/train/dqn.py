@@ -1,0 +1,315 @@
+"""Double-DQN training: one jitted, mesh-sharded train step.
+
+Capability parity with the reference trainer
+(/root/reference/train_q_network.py:84-250): double-DQN Bellman targets
+(online net argmax on the after-state, target net supplies its Q,
+:140-156), terminal masking (:160), LINEAR `r + Q_a - 0.1` vs
+`r + gamma*Q_a` targets (:161-162), 'rect' clamp to [0,1] (:165-166),
+REMOVE_BEFORE_REWARD valid-mask (:168-169), ground-truth regression with
+NaN masking for VALUE_LEARNING (:170-178), Adam, target sync every
+TARGET_UPDATE_INTERVAL *before* the update (:215-216), EMA(0.99) running
+loss (:228-234), `sample<N>` checkpoints (:241-247), resume (:192-198),
+BOOTSTRAP warm start (:200-206).
+
+TPU-first design (none of this exists in the reference):
+  * the THREE ResNet forwards (before/online-after/target-after) + loss +
+    backward + Adam + conditional target sync are ONE compiled XLA program;
+    the online before/after passes are folded into a single forward over a
+    2B batch so the MXU sees one large conv program;
+  * uint8 batches are normalized on device (fused into the first conv's
+    HBM read) — host ships 4x fewer bytes;
+  * state lives sharded on a ('data','model') mesh and is donated, so
+    params/opt-state never round-trip to host; gradient reduction is an
+    XLA psum over ICI;
+  * target-net sync is a lax.cond on the device-resident step counter —
+    no host round trip, no recompilation.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from video_dqn_tpu.core import (
+    latest_checkpoint_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from video_dqn_tpu.core.prefetch import prefetch_to_device
+from video_dqn_tpu.models.qnet import build_qnet, init_qnet
+from video_dqn_tpu.ops.image import normalize_imagenet
+from video_dqn_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+)
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    target_params: Any
+    target_batch_stats: Any
+    opt_state: Any
+    # device-resident EMA(0.99) of the loss — the reference computed this on
+    # host every step (train_q_network.py:228-231); keeping it on device
+    # means the host only syncs at logging points.
+    ema_loss: jax.Array
+
+
+def create_train_state(config, rng) -> Tuple[Any, TrainState, optax.GradientTransformation]:
+    model = build_qnet(config)
+    params, batch_stats = init_qnet(model, rng)
+    tx = optax.adam(config.LEARNING_RATE)
+    opt_state = tx.init(params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        target_params=jax.tree_util.tree_map(jnp.copy, params),
+        target_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
+        opt_state=opt_state,
+        ema_loss=jnp.zeros((), jnp.float32),
+    )
+    return model, state, tx
+
+
+def _prep(images: jax.Array) -> jax.Array:
+    """uint8 (B,F,H,W,3) -> normalized float; folded into the step."""
+    return normalize_imagenet(images.astype(jnp.float32) / 255.0)
+
+
+def make_loss_fn(model, config):
+    gamma = float(config.GAMMA)
+    linear = bool(config.LINEAR)
+    rect = config.LOSS_CLIP == "rect"
+    on_gt = bool(config.TRAIN_ON_GROUND_TRUTH)
+    value_learning = bool(config.VALUE_LEARNING)
+    remove_before = bool(config.REMOVE_BEFORE_REWARD)
+    mutable_bn = not model.extra_capacity
+
+    def loss_fn(params, target_params, batch_stats, target_batch_stats, batch):
+        before = _prep(batch["before"])
+        after = _prep(batch["after"])
+        b = before.shape[0]
+
+        variables = {"params": params, "batch_stats": batch_stats}
+        if on_gt:
+            # single forward on the before-state only
+            if mutable_bn:
+                q_before, mut = model.apply(
+                    variables, before, True, mutable=["batch_stats"]
+                )
+                new_stats = mut["batch_stats"]
+            else:
+                q_before = model.apply(variables, before, False)
+                new_stats = batch_stats
+        else:
+            # online net sees before+after as ONE 2B-batch forward
+            both = jnp.concatenate([before, after], axis=0)
+            if mutable_bn:
+                q_both, mut = model.apply(variables, both, True, mutable=["batch_stats"])
+                new_stats = mut["batch_stats"]
+            else:
+                q_both = model.apply(variables, both, False)
+                new_stats = batch_stats
+            q_before, q_after_online = q_both[:b], q_both[b:]
+
+        act = batch["action"].astype(jnp.int32)  # (B,)
+        # Q of the taken action for each of the 5 classes: (B, C).
+        # mode='clip': single-action heads (VALUE_LEARNING/ONE_ACTION) are
+        # fed action labels from the inverse model; out-of-range indices
+        # clamp to the only action instead of gather-filling NaN.
+        q_b = jnp.take_along_axis(
+            q_before, act[:, None, None], axis=2, mode="clip"
+        )[..., 0]
+
+        if on_gt:
+            gt = batch["gt"]
+            if value_learning:
+                mask = 1.0 - jnp.isnan(gt).astype(jnp.float32)
+                gt0 = jnp.nan_to_num(gt, nan=0.0)
+                losses = 0.5 * (q_b * mask - gt0) ** 2
+            else:
+                losses = 0.5 * (q_b - gt) ** 2
+        else:
+            q_after_target = model.apply(
+                {"params": target_params, "batch_stats": target_batch_stats},
+                after,
+                False,
+            )
+            best = jnp.argmax(q_after_online, axis=-1)  # (B, C) online picks
+            q_a = jnp.take_along_axis(q_after_target, best[..., None], axis=2)[..., 0]
+            q_a = jax.lax.stop_gradient(q_a) * (1.0 - batch["terminal"])
+            if linear:
+                targets = batch["reward"] + (q_a - 0.1)
+            else:
+                targets = batch["reward"] + gamma * q_a
+            if rect:
+                targets = jnp.clip(targets, 0.0, 1.0)
+            losses = 0.5 * (q_b - targets) ** 2
+            if remove_before:
+                losses = losses * batch["valid_mask"]
+
+        return losses.mean(), new_stats
+
+    return loss_fn
+
+
+def make_train_step(model, config, tx):
+    """Returns step(state, batch) -> (state, metrics); jit it with shardings."""
+    loss_fn = make_loss_fn(model, config)
+    sync_every = int(config.TARGET_UPDATE_INTERVAL)
+
+    def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
+        step = state.step + 1
+        # target sync BEFORE the update, at step % interval == 0
+        # (reference order, train_q_network.py:213-216)
+        do_sync = (step % sync_every) == 0
+        target_params = jax.tree_util.tree_map(
+            lambda t, p: jnp.where(do_sync, p, t), state.target_params, state.params
+        )
+        target_stats = jax.tree_util.tree_map(
+            lambda t, p: jnp.where(do_sync, p, t),
+            state.target_batch_stats,
+            state.batch_stats,
+        )
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, target_params, state.batch_stats, target_stats, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = jnp.where(
+            state.step == 0, loss, state.ema_loss * 0.99 + loss * 0.01
+        )
+        new_state = TrainState(
+            step=step,
+            params=params,
+            batch_stats=new_stats,
+            target_params=target_params,
+            target_batch_stats=target_stats,
+            opt_state=opt_state,
+            ema_loss=ema,
+        )
+        return new_state, {"loss": loss, "ema_loss": ema}
+
+    return step_fn
+
+
+def state_shardings(mesh, state: TrainState) -> TrainState:
+    """Sharding pytree matching TrainState: params (and adam moments) by
+    the TP partition rules, everything else replicated."""
+    pshard = param_shardings(mesh, state.params)
+    rep = replicated(mesh)
+
+    def like_params(part):
+        if hasattr(part, "mu"):  # optax.ScaleByAdamState
+            return part._replace(count=rep, mu=pshard, nu=pshard)
+        return jax.tree_util.tree_map(lambda _: rep, part)
+
+    opt = jax.tree_util.tree_map(
+        like_params, state.opt_state, is_leaf=lambda x: hasattr(x, "mu")
+    )
+    return TrainState(
+        step=rep,
+        params=pshard,
+        batch_stats=jax.tree_util.tree_map(lambda _: rep, state.batch_stats),
+        target_params=pshard,
+        target_batch_stats=jax.tree_util.tree_map(lambda _: rep, state.target_batch_stats),
+        opt_state=opt,
+        ema_loss=rep,
+    )
+
+
+def jit_train_step(model, config, tx, mesh, state: TrainState):
+    """Place the state sharded on the mesh and jit the donated step.
+    Output shardings follow input shardings by XLA propagation."""
+    shardings = state_shardings(mesh, state)
+    sharded_state = jax.device_put(state, shardings)
+    jitted = jax.jit(make_train_step(model, config, tx), donate_argnums=(0,))
+    return jitted, sharded_state, shardings
+
+
+def run_train(
+    config,
+    resume_from: int = -1,
+    batcher=None,
+    mesh=None,
+    max_steps: Optional[int] = None,
+    log_every: int = 100,
+):
+    """Full training loop. `config` is an ExperimentConfig (needs .folder,
+    .writer, .models_dir plus the flat cfg keys)."""
+    from video_dqn_tpu.data.qlearning import QLearningBatcher
+
+    np.random.seed(config.SEED)
+    if batcher is None:
+        batcher = QLearningBatcher(
+            config.DATASET,
+            one_action=True,
+            confidence_reward=config.CONFIDENCE_REWARD,
+            value_learning=config.VALUE_LEARNING,
+            inverse_actions=config.USE_INVERSE_ACTIONS,
+            previous_images=config.PREVIOUS_IMAGES,
+            seed=config.SEED,
+        )
+        print(f"Load data from {config.DATASET}")
+        print(f"Reward Ratio: {batcher.reward_percentage()}")
+
+    if mesh is None:
+        mesh = make_mesh(config.TPU.MESH_DATA, config.TPU.MESH_MODEL)
+    batch_size = int(config.TPU.BATCH_SIZE)
+
+    model, state, tx = create_train_state(config, jax.random.key(config.SEED))
+
+    start_step = 0
+    if resume_from > -1:
+        template = jax.device_get(state)
+        restored = restore_checkpoint(config.models_dir, resume_from, template)
+        state = restored
+        start_step = resume_from
+        print(f"Resuming from sample{resume_from}")
+    elif config.BOOTSTRAP:
+        boot = config.BOOTSTRAP_LOCATION
+        step = latest_checkpoint_step(boot)
+        if step is not None:
+            state = restore_checkpoint(boot, step, jax.device_get(state))
+            print(f"BOOTSTRAP from {boot}/sample{step}")
+
+    step_fn, state, _ = jit_train_step(model, config, tx, mesh, state)
+
+    num_steps = int(max_steps if max_steps is not None else config.NUM_STEPS)
+    running_loss = None
+    batches = prefetch_to_device(
+        batcher.batches(batch_size),
+        sharding=batch_sharding(mesh),
+        depth=int(config.TPU.PREFETCH_DEPTH),
+    )
+    sample_number = start_step
+    t0 = time.time()
+    for batch in batches:
+        if sample_number >= num_steps:
+            break
+        state, metrics = step_fn(state, batch)
+        sample_number += 1
+        # the EMA loss lives on device; only sync at logging/checkpoint
+        # boundaries so the dispatch pipeline stays full.
+        if sample_number % log_every == 0:
+            running_loss = float(metrics["ema_loss"])
+            config.writer.add_scalar("avg_q_loss/train", running_loss, sample_number)
+            rate = log_every * batch_size / (time.time() - t0)
+            config.writer.add_scalar("frames_per_sec/train", rate, sample_number)
+            t0 = time.time()
+        if sample_number % int(config.CHECKPOINT_INTERVAL) == 0:
+            save_checkpoint(config.models_dir, sample_number, jax.device_get(state))
+    return state, running_loss
