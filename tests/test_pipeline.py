@@ -1,0 +1,244 @@
+"""Dataset-pipeline tests: video decode, filtering semantics, detection
+pass, episode assembly — full offline pipeline on synthetic fixtures."""
+
+import os
+
+import numpy as np
+import pytest
+
+from video_dqn_tpu.data.detect import (
+    COCO_TARGET_IDS,
+    StubDetector,
+    detections_to_class_array,
+    run_detection_pass,
+    score_vals,
+)
+from video_dqn_tpu.data.download import RateLimited, download_videos
+from video_dqn_tpu.data.episodes import assemble_episodes, valid_frame_ranges
+from video_dqn_tpu.data.filters import (
+    filter_frames,
+    gaussian_smooth_round,
+    indoor_mask_vector,
+    load_categories,
+    load_io_map,
+    person_in_top5,
+    run_filter_pass,
+    smooth_binary_inplace,
+)
+from video_dqn_tpu.data.schema import DETECTION_THRESHOLDS, multi_get, validate_schema
+from video_dqn_tpu.data.video import extract_all_frames, extract_frames, write_synthetic_video
+
+
+# ---- video decode --------------------------------------------------------
+
+def test_extract_frames_at_half_fps(tmp_path):
+    vid = write_synthetic_video(str(tmp_path / "v.mp4"), num_frames=96, fps=24)
+    n = extract_frames(vid, str(tmp_path / "out"), fps=0.5)
+    # 4 s of video at 0.5 fps -> 2 frames
+    assert n == 2
+    assert sorted(os.listdir(tmp_path / "out")) == ["0001.jpg", "0002.jpg"]
+
+
+def test_extract_all_skips_existing(tmp_path):
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    write_synthetic_video(str(vids / "a.mp4"), num_frames=48)
+    write_synthetic_video(str(vids / "b.mp4"), num_frames=48)
+    frames = tmp_path / "frames"
+    done = extract_all_frames(str(vids), str(frames))
+    assert sorted(done) == ["a", "b"]
+    done2 = extract_all_frames(str(vids), str(frames))
+    assert done2 == []  # resume: nothing re-extracted
+
+
+# ---- filtering -----------------------------------------------------------
+
+def test_io_map_and_mask():
+    io = load_io_map()
+    cats = load_categories()
+    assert len(cats) == 365
+    assert io["airport_terminal"] == 1  # indoor
+    assert io["airfield"] == 0  # outdoor
+    mask = indoor_mask_vector(cats, io)
+    assert mask.shape == (365,)
+    assert set(np.unique(mask)) <= {0.0, 1.0}
+
+
+def test_smooth_binary_inplace_reference_semantics():
+    # oracle: sequential in-place windowed mean with already-smoothed
+    # values feeding later windows (extract_frames.py:151-157)
+    v = [0, 0, 1, 1, 1, 0, 0, 1, 0, 0]
+    got = smooth_binary_inplace(v, 6)
+    ref = list(map(float, v))
+    for i in range(3, len(ref) - 3):
+        ref[i] = round(float(np.mean(ref[i - 3 : i + 3])))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_gaussian_smooth_round():
+    v = np.zeros(50)
+    v[20:30] = 1.0
+    sm = gaussian_smooth_round(v, sigma=6)
+    assert sm[24] == 1 and sm[0] == 0
+
+
+def test_person_in_top5():
+    assert person_in_top5([62, 1, 70])
+    assert not person_in_top5([62, 63, 65, 67, 70, 1])  # person ranked 6th
+
+
+def test_filter_frames_output_contract():
+    indoor = [0.9] * 10 + [0.1] * 10
+    person = [False] * 5 + [True] * 3 + [False] * 12
+    out = filter_frames(indoor, person)
+    assert set(out.keys()) == {"indoor_locs", "person_locs"}
+    assert out["indoor_locs"].ndim == 1
+
+
+def test_run_filter_pass_resume(tmp_path, rng):
+    from PIL import Image
+
+    froot = tmp_path / "frames" / "vid000"
+    froot.mkdir(parents=True)
+    for i in range(1, 9):
+        Image.fromarray(
+            rng.integers(0, 255, (32, 32, 3), np.uint8)
+        ).save(froot / f"{i:04d}.jpg")
+    calls = {"n": 0}
+
+    def indoor(images):
+        calls["n"] += 1
+        return np.ones(len(images))
+
+    person = lambda images: [[] for _ in images]
+    out = run_filter_pass(str(tmp_path / "frames"), str(tmp_path / "fo"),
+                          indoor, person, image_size=32)
+    assert "vid000" in out
+    data = np.load(out["vid000"], allow_pickle=True)[()]
+    assert len(data["indoor_locs"]) == 8
+    # resume: second pass does nothing
+    before = calls["n"]
+    out2 = run_filter_pass(str(tmp_path / "frames"), str(tmp_path / "fo"),
+                           indoor, person, image_size=32)
+    assert out2 == {} and calls["n"] == before
+
+
+# ---- detection -----------------------------------------------------------
+
+def test_detections_to_class_array_and_scores():
+    det = {
+        "boxes": np.array([[0, 0, 10, 10], [5, 5, 20, 20], [1, 1, 2, 2]]),
+        "scores": np.array([0.9, 0.99, 0.5]),
+        "classes": np.array([COCO_TARGET_IDS["bed"], COCO_TARGET_IDS["bed"],
+                             COCO_TARGET_IDS["toilet"]]),
+    }
+    arr = detections_to_class_array(det)
+    assert arr.shape == (5, 2)
+    # bed is class index 0 (sorted); score-sorted within class
+    np.testing.assert_allclose(arr[0, 1], [0.99, 0.9])
+    sv = score_vals(arr)
+    assert sv[0] == pytest.approx(0.99)
+    assert sv[4] == pytest.approx(0.5)  # toilet is last
+    assert sv[1] == 0  # chair: none
+
+
+def test_detection_pass_end_to_end(tmp_path, rng):
+    from PIL import Image
+
+    froot = tmp_path / "frames" / "vid000"
+    froot.mkdir(parents=True)
+    for i in range(1, 7):
+        Image.fromarray(
+            rng.integers(0, 255, (32, 32, 3), np.uint8)
+        ).save(froot / f"{i:04d}.jpg")
+    out_path = tmp_path / "frames" / "real_detections_raw.npy"
+    res = run_detection_pass(str(tmp_path / "frames"), StubDetector(),
+                             out_path=str(out_path), image_size=32)
+    assert set(res["vid000"].keys()) == set(range(1, 7))
+    loaded = np.load(out_path, allow_pickle=True)[()]
+    assert loaded["vid000"][1].shape == (5, 2)
+
+
+# ---- episode assembly ----------------------------------------------------
+
+def test_valid_frame_ranges():
+    # frames 1..10; indoor 1-8, person at 4 -> ranges [1,4), [5,9)
+    ranges = valid_frame_ranges(
+        10,
+        indoor_locs=range(1, 9),
+        person_locs=[4],
+        frame_exists=lambda i: i <= 8,
+    )
+    assert ranges == [(1, 4), (5, 9)]
+
+
+def test_assemble_episodes_schema(tmp_path, rng):
+    from PIL import Image
+
+    froot = tmp_path / "frames" / "vid000"
+    froot.mkdir(parents=True)
+    n = 12
+    for i in range(1, n + 1):
+        Image.fromarray(
+            rng.integers(0, 255, (32, 32, 3), np.uint8)
+        ).save(froot / f"{i:04d}.jpg")
+    detections = {
+        "vid000": {
+            i: detections_to_class_array(StubDetector(hit_rate=0.3)(
+                np.asarray([np.full((32, 32, 3), i, np.uint8)]))[0])
+            for i in range(1, n + 1)
+        }
+    }
+    fo = tmp_path / "filter_out"
+    fo.mkdir()
+    np.save(fo / "vid000_filters.npy",
+            {"indoor_locs": np.arange(1, n + 1), "person_locs": np.array([])},
+            allow_pickle=True)
+
+    def labeler(before, after):
+        return np.zeros(len(before), np.int64)
+
+    df = assemble_episodes(detections, str(fo), str(tmp_path / "frames"),
+                           inverse_labeler=labeler, image_size=32)
+    validate_schema(df)
+    assert len(df) == n - 3  # one range [1, n+1), quadruplets to n-3
+    # detector scores are the AFTER frame's
+    sv = score_vals(detections["vid000"][1 + 3])
+    np.testing.assert_allclose(multi_get(df.iloc[0], "detector_score"), sv)
+    # steps_to_reward consistent with sparse rewards
+    sparse = multi_get(df, "sparse_reward")
+    steps = multi_get(df, "steps_to_reward")
+    for c in range(5):
+        hits = np.where(sparse[:, c])[0]
+        if len(hits):
+            assert steps[hits[0], c] == 0
+    assert (df["inverse_actions"] == 0).all()
+
+
+# ---- downloader ----------------------------------------------------------
+
+def test_download_backoff_and_resume(tmp_path):
+    dest = str(tmp_path / "videos")
+    os.makedirs(dest)
+    open(os.path.join(dest, "done1.mp4"), "w").close()
+    attempts = {"n": 0}
+    sleeps = []
+
+    def fetcher(vid, d):
+        if vid == "limited":
+            attempts["n"] += 1
+            if attempts["n"] < 3:
+                raise RateLimited()
+        if vid == "broken":
+            raise ValueError("no stream")
+        path = os.path.join(d, f"{vid}.mp4")
+        open(path, "w").close()
+        return path
+
+    done, failed = download_videos(
+        ["done1", "limited", "broken", "ok"], dest, fetcher=fetcher,
+        sleep_fn=sleeps.append,
+    )
+    assert done == ["limited", "ok"]  # done1 skipped (resume)
+    assert failed == ["broken"]
+    assert sleeps == [10.0, 20.0]  # exponential backoff
