@@ -30,6 +30,7 @@ TPU-first redesign:
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -160,6 +161,17 @@ def ours_evaluate(
     agent_steps_taken = 0
 
     def output():
+        if visualize and config.SLAM and planner.log_visualization:
+            from video_dqn_tpu.plan.visualize import write_combined
+
+            from video_dqn_tpu.eval.policy_config import name_from_config
+
+            out_dir = os.path.join(config.VIDEO_LOCATION, name_from_config(config))
+            write_combined(
+                planner, out_dir,
+                name="%04d_%s-%dm-spl%.2f-steps%d"
+                % (epind, class_label, int(goal_dist), spl, agent_steps_taken),
+            )
         return np.array(log, dtype=object) if config.STOP else spl
 
     def semantic_reasoning():
@@ -170,6 +182,7 @@ def ours_evaluate(
             ims, _, _, _ = env.step(1)
             views.append(ims)
             locs.append([*planner.pos_to_loc(env.pos), env.angle])
+        all_scores = []
         batched = bool(config.BATCHED_REASONING) if "BATCHED_REASONING" in config else True
         if batched:
             # ONE fused mapping program + ONE batched score call
@@ -183,6 +196,7 @@ def ours_evaluate(
                     scores, [v["rgb"] for v in views], detector, class_label,
                     config.CONFIDENCE_THRESHOLD,
                 )
+            all_scores = list(map(float, scores))
             for k in range(NUM_ROTATIONS):
                 ang = locs[k][2]
                 dest = check_movement(env, ang, planner, rng)
@@ -201,8 +215,26 @@ def ours_evaluate(
                         np.array([sc]), [ims["rgb"]], detector, class_label,
                         config.CONFIDENCE_THRESHOLD,
                     )[0]
+                all_scores.append(float(sc))
                 if dest is not None:
                     openlist.append((float(sc), dest))
+
+        if visualize and config.SLAM and planner.log_visualization:
+            # annotated panorama strip for the episode video
+            # (reference evaluate.py:205-214)
+            from video_dqn_tpu.viz.panorama import join_images
+
+            strips = [
+                np.asarray(v["rgb"])[0] if np.asarray(v["rgb"]).ndim == 4
+                else np.asarray(v["rgb"])
+                for v in views
+            ]
+            planner.current_pan = join_images(
+                strips,
+                -np.array(all_scores),
+                bl_text="Predicted Values",
+                br_text=f"Object Class: {class_label.title()}",
+            )
 
     macro_steps = 50 if config.SLAM else 30
 

@@ -247,6 +247,7 @@ def run_train(
     mesh=None,
     max_steps: Optional[int] = None,
     log_every: int = 100,
+    visualize_hook=None,
 ):
     """Full training loop. `config` is an ExperimentConfig (needs .folder,
     .writer, .models_dir plus the flat cfg keys)."""
@@ -312,4 +313,9 @@ def run_train(
             t0 = time.time()
         if sample_number % int(config.CHECKPOINT_INTERVAL) == 0:
             save_checkpoint(config.models_dir, sample_number, jax.device_get(state))
+            # value-map rendering at checkpoints — properly gated (the
+            # reference's equivalent crashed on an undefined houses list
+            # when VISUALIZATION_DATA_ROOT was unset, train_q_network.py:248-250)
+            if visualize_hook is not None and config.VISUALIZATION_DATA_ROOT:
+                visualize_hook(model, state, sample_number)
     return state, running_loss

@@ -1,0 +1,11 @@
+from .value_map import VisualizationGrid, build_value_maps, render_value_map, build_map_figures
+from .panorama import join_images, panorama_strip
+
+__all__ = [
+    "VisualizationGrid",
+    "build_value_maps",
+    "render_value_map",
+    "build_map_figures",
+    "join_images",
+    "panorama_strip",
+]
