@@ -1,0 +1,72 @@
+"""Detector inference wrapper matching the data-pipeline contract
+(`detector(images_uint8) -> [{boxes, scores, classes}]` per image) and
+the eval-fusion contract (`detector(image, class_label) -> (boxes,
+scores)`, reference evaluate.py:110-134)."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from video_dqn_tpu.data.detect import COCO_TARGET_IDS
+
+
+class FlaxDetector:
+    def __init__(self, model, params, batch_stats=None, score_thresh: float = 0.05):
+        import jax
+        import jax.numpy as jnp
+
+        from video_dqn_tpu.ops.image import normalize_imagenet
+
+        self.model = model
+        variables = {"params": params, "batch_stats": batch_stats or {}}
+
+        @jax.jit
+        def run(images):  # (B, H, W, 3) uint8
+            x = normalize_imagenet(images.astype(jnp.float32) / 255.0)
+            return jax.vmap(lambda im: model.apply(variables, im))(x)
+
+        self._run = run
+        self.score_thresh = score_thresh
+
+    def __call__(self, images, class_label: Optional[str] = None):
+        images = np.asarray(images)
+        single = images.ndim == 3
+        if single:
+            images = images[None]
+        out = self._run(images)
+        results: List[Dict] = []
+        for i in range(images.shape[0]):
+            valid = np.asarray(out["valid"][i]) & (
+                np.asarray(out["scores"][i]) > self.score_thresh
+            )
+            results.append(
+                {
+                    "boxes": np.asarray(out["boxes"][i])[valid],
+                    "scores": np.asarray(out["scores"][i])[valid],
+                    "classes": np.asarray(out["classes"][i])[valid],
+                }
+            )
+        if class_label is not None:
+            # eval-fusion contract: (boxes, scores) of one class for one image
+            det = results[0]
+            cid = COCO_TARGET_IDS.get(class_label)
+            mask = det["classes"] == cid
+            return det["boxes"][mask], det["scores"][mask]
+        return results[0] if single and class_label is None else results
+
+
+def load_detector(weights_path: str, with_masks: bool = False,
+                  score_thresh: float = 0.05) -> FlaxDetector:
+    """Build MaskRCNN from a torchvision-format torch checkpoint."""
+    import jax.numpy as jnp
+
+    from video_dqn_tpu.models.torch_convert import load_torch_state_dict
+    from .convert import convert_maskrcnn
+    from .maskrcnn import MaskRCNN
+
+    sd = load_torch_state_dict(weights_path)
+    params, stats = convert_maskrcnn(sd, with_masks=with_masks)
+    model = MaskRCNN(with_masks=with_masks, dtype=jnp.bfloat16)
+    return FlaxDetector(model, params, stats, score_thresh)

@@ -62,6 +62,73 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1(x4) bottleneck (torchvision semantics: stride on
+    the 3x3). Used by the ResNet-50 detector backbone."""
+
+    filters: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                       param_dtype=jnp.float32)
+        out_ch = self.filters * 4
+        residual = x
+        y = conv(self.filters, (1, 1), padding="VALID", name="conv1")(x)
+        y = nn.relu(norm(name="bn1")(y))
+        y = conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                 padding=((1, 1), (1, 1)), name="conv2")(y)
+        y = nn.relu(norm(name="bn2")(y))
+        y = conv(out_ch, (1, 1), padding="VALID", name="conv3")(y)
+        y = norm(name="bn3")(y)
+        if residual.shape[-1] != out_ch or self.stride != 1:
+            residual = conv(out_ch, (1, 1),
+                            strides=(self.stride, self.stride),
+                            padding="VALID", name="downsample_conv")(x)
+            residual = norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet50Stages(nn.Module):
+    """ResNet-50 returning the C2..C5 stage outputs (strides 4/8/16/32) —
+    the FPN taps of the detector backbone. Bottleneck stages (3, 4, 6, 3)
+    at widths (64, 128, 256, 512)."""
+
+    dtype: Dtype = jnp.float32
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    widths: Sequence[int] = (64, 128, 256, 512)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                    name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        taps = []
+        for stage, (n_blocks, width) in enumerate(zip(self.stage_sizes, self.widths)):
+            for block in range(n_blocks):
+                stride = 2 if (stage > 0 and block == 0) else 1
+                x = Bottleneck(width, stride=stride, dtype=self.dtype,
+                               name=f"layer{stage + 1}_{block}")(x, train=train)
+            taps.append(x)
+        return tuple(taps)  # C2, C3, C4, C5
+
+
 class ResNet18(nn.Module):
     """Stages of (2,2,2,2) BasicBlocks at (64,128,256,512) filters."""
 

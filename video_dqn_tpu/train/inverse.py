@@ -62,7 +62,9 @@ def create_inverse_state(
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
-        dropout_rng=jax.random.key(seed + 1),
+        # raw uint32 key data (typed key arrays don't serialize into
+        # checkpoints); wrapped back at use inside the step
+        dropout_rng=jax.random.key_data(jax.random.key(seed + 1)),
     )
     return model, state, tx
 
@@ -89,7 +91,10 @@ def make_inverse_step(model: InverseActionModel, tx):
         return loss, acc
 
     def step_fn(state: InverseTrainState, batch):
-        rng, next_rng = jax.random.split(state.dropout_rng)
+        rng, next_rng = jax.random.split(
+            jax.random.wrap_key_data(state.dropout_rng)
+        )
+        next_rng = jax.random.key_data(next_rng)
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, rng, batch
         )
