@@ -56,17 +56,27 @@ def check_movement(env, start_ang: float, planner, rng) -> Optional[np.ndarray]:
     return points[idx] if idx is not None else None
 
 
-def make_model_scorer(model, params, batch_stats, class_index: int) -> Callable:
+def make_model_scorer(model, params, batch_stats, class_index: int,
+                      image_size: int = 224) -> Callable:
     """Jitted batched panorama scorer: uint8 (V, F, H, W, 3) -> (V,)
-    max-over-actions Q for the target class. ONE forward for all V views."""
+    max-over-actions Q for the target class. ONE forward for all V views;
+    views rendered at a different resolution go through the fused
+    resize+normalize (Pallas on TPU) before the backbone."""
     import jax
     import jax.numpy as jnp
 
     from video_dqn_tpu.ops.image import normalize_imagenet
+    from video_dqn_tpu.ops.pallas_image import fused_preprocess
 
     @jax.jit
     def run(images):
-        x = normalize_imagenet(images.astype(jnp.float32) / 255.0)
+        v, f = images.shape[0], images.shape[1]
+        if images.shape[2] == image_size and images.shape[3] == image_size:
+            x = normalize_imagenet(images.astype(jnp.float32) / 255.0)
+        else:
+            flat = images.reshape((v * f,) + images.shape[2:])
+            x = fused_preprocess(flat, image_size)
+            x = x.reshape((v, f, image_size, image_size, 3))
         q = model.apply({"params": params, "batch_stats": batch_stats}, x, False)
         return q[:, class_index, :].max(axis=-1)
 

@@ -69,28 +69,18 @@ def resize_normalize_xla(batch_uint8: jax.Array, out_size: int) -> jax.Array:
     return (z - mean) * inv_std
 
 
-def _kernel(x_ref, mh_ref, mw_ref, norm_ref, out_ref):
+def _kernel(x_ref, mh_ref, mw3_ref, mean_ref, inv_ref, out_ref):
+    """Fully 2-D formulation (TPU layouts want >=2-D, lane-major):
+    the HWC image is viewed as (H, W*3); the column resample+channel
+    mixing is one matmul against kron(Mw, I3)^T; normalization uses
+    per-output-column rows. Everything is MXU matmuls + VPU elementwise.
+    Mosaic has no direct uint8->f32 cast; hop through int32."""
     import jax.numpy as jnp
 
-    x = x_ref[0].astype(jnp.float32)          # (H, W, 3)
-    mh = mh_ref[...]                           # (OUT, H)
-    mw = mw_ref[...]                           # (OUT, W)
-    h, w, c = x.shape
-    # rows: (OUT, H) @ (H, W*3)
-    y = jnp.dot(mh, x.reshape(h, w * c), preferred_element_type=jnp.float32)
-    out = y.shape[0]
-    # cols: contract W of (OUT, W, 3) with (OUT_W, W)
-    y = y.reshape(out, w, c)
-    z = jax.lax.dot_general(
-        y, mw, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (OUT, 3, OUT_W)
-    # per-channel normalize with SMEM scalars (Pallas kernels cannot
-    # capture trace-time constant arrays), stacking back to HWC
-    chans = [
-        (z[:, ch, :] - norm_ref[0, ch]) * norm_ref[1, ch] for ch in range(c)
-    ]
-    out_ref[0] = jnp.stack(chans, axis=-1)
+    x = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # (H, W*3)
+    y = jnp.dot(mh_ref[...], x, preferred_element_type=jnp.float32)  # (OUT, W*3)
+    z = jnp.dot(y, mw3_ref[...], preferred_element_type=jnp.float32)  # (OUT, OUT_W*3)
+    out_ref[0] = (z - mean_ref[...]) * inv_ref[...]
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -102,33 +92,48 @@ def resize_normalize_pallas(batch_uint8: jax.Array, out_size: int,
 
     b, h, w, c = batch_uint8.shape
     mh = jnp.asarray(resize_matrix(h, out_size))
-    mw = jnp.asarray(resize_matrix(w, out_size))
+    # kron(Mw, I_c)^T: (W*c, OUT*c) — column resample and channel
+    # passthrough as one matmul operand
+    mw3 = jnp.asarray(
+        np.kron(resize_matrix(w, out_size), np.eye(c, dtype=np.float32)).T
+    )
     mean, inv_std = _norm_consts()
-    norm = jnp.stack([mean, inv_std])  # (2, 3)
+    mean_row = jnp.tile(mean, out_size)[None, :]      # (1, OUT*c)
+    inv_row = jnp.tile(inv_std, out_size)[None, :]
 
-    return pl.pallas_call(
+    x2d = batch_uint8.reshape(b, h, w * c)  # layout-free view of HWC
+    out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((b, out_size, out_size, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, out_size, out_size * c), jnp.float32),
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, h, w * c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((out_size, h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_size, w), lambda i: (0, 0),
+            pl.BlockSpec((w * c, out_size * c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 3), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, out_size * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_size * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, out_size, out_size, c),
-                               lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, out_size, out_size * c),
+                               lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(batch_uint8, mh, mw, norm)
+    )(x2d, mh, mw3, mean_row, inv_row)
+    return out.reshape(b, out_size, out_size, c)
 
 
-def fused_preprocess(batch_uint8: jax.Array, out_size: int = 224) -> jax.Array:
-    """Backend dispatch: Pallas on TPU, identical XLA einsum elsewhere."""
-    if jax.default_backend() == "tpu":
+def fused_preprocess(batch_uint8: jax.Array, out_size: int = 224,
+                     use_pallas: bool = False) -> jax.Array:
+    """Fused resize+normalize. Default is the XLA einsum path: measured on
+    TPU v5e (batch 16, 256x342 -> 224) it reaches 20.6k imgs/sec vs the
+    Pallas kernel's 11.0k — XLA pipelines HBM across the batch better than
+    the one-image-per-grid-step kernel, and both produce identical values
+    (max diff 3.6e-7). The kernel remains available (use_pallas=True) as
+    the hand-scheduled variant."""
+    if use_pallas and jax.default_backend() == "tpu":
         return resize_normalize_pallas(batch_uint8, out_size)
     return resize_normalize_xla(batch_uint8, out_size)

@@ -1,0 +1,66 @@
+"""Multi-host (DCN-spanning) runtime helpers.
+
+The reference is strictly single-process (SURVEY.md section 2
+communication inventory: no NCCL/MPI/distributed anywhere). Here
+multi-host runs are first-class: `initialize()` wires
+jax.distributed for a multi-host TPU slice (ICI within a slice, DCN
+across), and the `primary_only` helpers gate host-side side effects
+(checkpoint writes, metrics, result shards) to process 0 while every
+process participates in the global mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """jax.distributed.initialize with TPU auto-detection when args are
+    omitted. Safe to call on single-process runs (no-op on failure to
+    detect a cluster)."""
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        pass  # single-process
+
+
+def is_primary() -> bool:
+    import jax
+
+    return jax.process_index() == 0
+
+
+def primary_only(fn: Callable) -> Callable:
+    """Run fn only on process 0 (checkpointing/logging side effects)."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if is_primary():
+            return fn(*args, **kwargs)
+        return None
+
+    return wrapper
+
+
+def global_batch_slice(global_batch_size: int):
+    """(start, size) of this process's shard of a globally-sharded batch:
+    each host feeds its slice; jax.make_array_from_process_local_data or
+    device_put with the global sharding assembles the global array."""
+    import jax
+
+    n = jax.process_count()
+    if global_batch_size % n:
+        raise ValueError(f"batch {global_batch_size} not divisible by {n} hosts")
+    per = global_batch_size // n
+    return jax.process_index() * per, per

@@ -25,9 +25,28 @@ import numpy as np
 
 CLASS_LABELS = sorted(["bed", "chair", "couch", "dining table", "toilet"])
 
+
+def class_colors() -> Dict[str, tuple]:
+    """Per-class display colors (reference gibson_info.py:170-176)."""
+    return {k: tuple(v) for k, v in _house_tables()["colors"].items()}
+
 # Gibson tiny validation houses used by the published evaluation
 # (evaluation/val_episodes.npy episode table)
 TINY_VAL_HOUSES = ["Collierville", "Corozal", "Darden", "Markleeville", "Wiconisco"]
+
+_METADATA_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "..", "data", "gibson", "house_metadata.json"
+)
+
+
+def _house_tables() -> Dict:
+    """Vendored per-house floor-count tables + class colors (data tables
+    from the reference's gibson_info.py:10-168,170-176)."""
+    import json
+
+    with open(_METADATA_PATH) as f:
+        return json.load(f)
+
 
 # Fixed 15-house split for inverse-model training
 # (reference gibson_info.py:360-366)
@@ -109,10 +128,29 @@ class GibsonHouse:
 
     @property
     def num_floors(self) -> int:
-        b = self.semantics.get("building", {})
+        """Scene-graph floor count, falling back to the vendored override
+        table and then gibson stats (reference gibson_info.py:214-223)."""
+        b = self.semantics.get("building", {}) if self._has_semantics() else {}
         if "num_floors" in b:
             return int(b["num_floors"])
-        return int(self.data.get("stats", {}).get("floor", 1))
+        tables = _house_tables()
+        override = tables["level_override"].get(self.name)
+        if override is not None:
+            return int(override)
+        stats = int(self.data.get("stats", {}).get("floor", 1))
+        env_levels = tables["levels_from_env"].get(self.name)
+        if env_levels is not None:
+            return min(stats, int(env_levels))
+        return stats
+
+    def _has_semantics(self) -> bool:
+        if self._semantics is not None:
+            return True
+        try:
+            self.semantics
+            return True
+        except Exception:
+            return False
 
     def get_env(self, env_factory: Optional[Callable] = None, **kwargs):
         """Build the navigation env for this house. env_factory receives
