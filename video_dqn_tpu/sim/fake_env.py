@@ -67,6 +67,7 @@ class FakeNavEnv:
         max_depth: float = 10.0,
         seed: int = 0,
         panorama: bool = False,
+        use_native: Optional[bool] = None,
     ):
         maze = maze if maze is not None else DEFAULT_MAZE
         self.grid = np.array(
@@ -90,6 +91,11 @@ class FakeNavEnv:
         self._ang = 0.0
         # free-space geodesic base grid (cells)
         self._free = ~self.grid
+        if use_native is None:
+            from . import native_render
+
+            use_native = native_render.available()
+        self.use_native = bool(use_native)
 
     @property
     def camera_attrs(self) -> Tuple[int, int, float]:
@@ -211,6 +217,19 @@ class FakeNavEnv:
                 return t
         return self.max_depth
 
+    def _render_views_native(self, poses: np.ndarray) -> list:
+        """Batch-render V poses through the C++ sim core (one call)."""
+        from . import native_render
+
+        depth, rgb = native_render.render_views(
+            self.grid, self.cell, poses, self.size, self.cam,
+            self.wall_height, self.camera_height, self.max_depth,
+        )
+        return [
+            {"rgb": rgb[i], "depth": depth[i][..., None]}
+            for i in range(poses.shape[0])
+        ]
+
     def _render_one(self) -> Dict[str, np.ndarray]:
         ray_len, alphas = self._raycast_column_depths(self._ang)
         zdepth = ray_len * np.cos(alphas)  # z-buffer depth
@@ -241,14 +260,24 @@ class FakeNavEnv:
     def get_observation(self, force_panorama: bool = False) -> Dict:
         if self.panorama or force_panorama:
             pos, ang = self.agent_state()
-            views = []
-            for k in range(4):
-                self.set_agent_state(pos, ang + k * math.pi / 2)
-                views.append(self._render_one())
-            self.set_agent_state(pos, ang)
+            if self.use_native:
+                poses = np.array(
+                    [[pos[0], pos[2], ang + k * math.pi / 2] for k in range(4)]
+                )
+                views = self._render_views_native(poses)
+            else:
+                views = []
+                for k in range(4):
+                    self.set_agent_state(pos, ang + k * math.pi / 2)
+                    views.append(self._render_one())
+                self.set_agent_state(pos, ang)
             return {
                 k: np.stack([v[k] for v in views]) for k in views[0].keys()
             }
+        if self.use_native:
+            return self._render_views_native(
+                np.array([[self._pos[0], self._pos[2], self._ang]])
+            )[0]
         return self._render_one()
 
     def close(self) -> None:
