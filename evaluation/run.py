@@ -21,6 +21,8 @@ def main():
                         help="debug mode, no writing to results files")
     parser.add_argument("-s", "--start", default=0, type=int,
                         help="episode index to start at")
+    parser.add_argument("-r", "--resume", action="store_true",
+                        help="skip episodes with results already on disk")
     parser.add_argument("--episodes", dest="episodes_to_run", default=None,
                         help="comma-separated episode indices")
     parser.add_argument("-v", "--visualize", action="store_true")
@@ -38,12 +40,9 @@ def main():
     episodes = None
     if os.path.exists("evaluation/val_episodes.npy"):
         episodes = np.load("evaluation/val_episodes.npy", allow_pickle=True)
-    if episodes is not None:
-        if args.episodes_to_run:
-            idx = [int(i) for i in args.episodes_to_run.split(",")]
-            episodes = episodes[idx]
-        elif args.start:
-            episodes = episodes[args.start:]
+    if episodes is not None and args.episodes_to_run:
+        idx = [int(i) for i in args.episodes_to_run.split(",")]
+        episodes = episodes[idx]
 
     kwargs = {}
     if args.fake_env or episodes is None:
@@ -62,7 +61,8 @@ def main():
 
         jax.profiler.start_trace("/tmp/jax_trace")
     run_policy(config, episodes=episodes, debug=args.debug,
-               visualize_every=(1 if args.visualize else 100), **kwargs)
+               visualize_every=(1 if args.visualize else 100),
+               resume=args.resume, start=args.start, **kwargs)
     if args.profile:
         import jax
 

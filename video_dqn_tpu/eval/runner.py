@@ -71,6 +71,8 @@ def run_policy(
     visualize_every: int = 100,
     debug: bool = False,
     episodes_path: str = "evaluation/val_episodes.npy",
+    resume: bool = False,
+    start: int = 0,
 ):
     """Run the episode loop.
 
@@ -86,6 +88,14 @@ def run_policy(
 
     log_folder = os.path.join(config.RESULT_LOCATION, name_from_config(config))
     logger = DiskLogger(log_folder, checkpoint_time=60 * 30)
+    # resume: skip episodes whose results already exist in the shards
+    # (the reference parsed a -r flag but never used it, runner.py:117-130;
+    # here it works — shards merge crash-safely so reruns are incremental)
+    done = set()
+    if resume:
+        from video_dqn_tpu.core import DiskReader
+
+        done = set(DiskReader(log_folder).data().keys())
 
     if episodes is None:
         episodes = np.load(episodes_path, allow_pickle=True)
@@ -103,7 +113,9 @@ def run_policy(
     house_factory = house_factory or get_house
     house_name, env, house = "", None, None
 
-    for epind in range(len(episodes)):
+    for epind in range(start, len(episodes)):
+        if epind in done:
+            continue
         ep = episodes[epind]
         hn, floor, class_label, goal_dist, pos, rot = ep
         if house_name != hn:

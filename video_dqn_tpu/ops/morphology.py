@@ -16,13 +16,6 @@ import jax.numpy as jnp
 _DISK1 = jnp.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], jnp.float32)
 
 
-def _window_op(x: jax.Array, init, op) -> jax.Array:
-    return jax.lax.reduce_window(
-        x, init, op, window_dimensions=(3, 3), window_strides=(1, 1),
-        padding=((1, 1), (1, 1)),
-    )
-
-
 @jax.jit
 def binary_dilation_disk1(mask: jax.Array) -> jax.Array:
     """True wherever the plus-neighborhood contains a True."""

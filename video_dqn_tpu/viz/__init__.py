@@ -1,5 +1,6 @@
 from .value_map import VisualizationGrid, build_value_maps, render_value_map, build_map_figures
 from .panorama import join_images, panorama_strip
+from .render_grid import render_grid
 
 __all__ = [
     "VisualizationGrid",
@@ -8,4 +9,5 @@ __all__ = [
     "build_map_figures",
     "join_images",
     "panorama_strip",
+    "render_grid",
 ]
