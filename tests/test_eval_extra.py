@@ -74,6 +74,62 @@ def test_runner_resume_skips_done(tmp_path):
     assert len(DiskReader(str(tmp_path / "r") + "/geodesic_spl_slam_seed1").data()) == 3
 
 
+def test_load_eval_model_from_framework_ckpt(tmp_path):
+    """The eval runner must load weights from this framework's sample<N>
+    checkpoints (the seam between training and eval)."""
+    import optax
+
+    from video_dqn_tpu.core import get_cfg_defaults, save_checkpoint
+    from video_dqn_tpu.eval.runner import load_eval_model
+    from video_dqn_tpu.models.qnet import build_qnet, init_qnet
+    from video_dqn_tpu.train.dqn import TrainState
+
+    cfg = get_cfg_defaults()
+    cfg.PANORAMA = False
+    cfg.ARCHITECTURE = "basic"
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.folder = str(tmp_path)
+
+    model = build_qnet(cfg)
+    params, stats = init_qnet(model, jax.random.key(7), image_size=64)
+    tx = optax.adam(1e-3)
+    state = TrainState(
+        step=jnp.asarray(42), params=params, batch_stats=stats,
+        target_params=params, target_batch_stats=stats,
+        opt_state=tx.init(params), ema_loss=jnp.asarray(0.0),
+    )
+    save_checkpoint(str(tmp_path / "models"), 42, state)
+
+    eval_cfg_ = eval_cfg(MODEL_NUMBER=42, PRETRAINED_MODEL_LOCATION="")
+    m2, p2, s2 = load_eval_model(eval_cfg_, cfg)
+    w_saved = np.asarray(params["top_dense1"]["kernel"])
+    w_loaded = np.asarray(p2["top_dense1"]["kernel"])
+    np.testing.assert_array_equal(w_loaded, w_saved)
+
+
+def test_load_eval_model_from_torch_checkpoint(tmp_path):
+    """...and from the reference's .torch snapshots via the converter."""
+    import torch
+
+    from video_dqn_tpu.core import get_cfg_defaults
+    from video_dqn_tpu.eval.runner import load_eval_model
+    from tests.torch_ref import TorchHabitatDQN
+    from tests.test_models import randomize
+
+    tm = randomize(TorchHabitatDQN(3, extra_capacity=False, panorama=False).finish(96))
+    loc = str(tmp_path / "vlv_model.torch")
+    torch.save({"model_state_dict": tm.state_dict()}, loc)
+
+    cfg = get_cfg_defaults()
+    cfg.PANORAMA = False
+    cfg.ARCHITECTURE = "basic"
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    e = eval_cfg(PRETRAINED_MODEL_LOCATION=loc)
+    model, params, stats = load_eval_model(e, cfg)
+    want = tm.state_dict()["top.weight"].numpy().T
+    np.testing.assert_allclose(np.asarray(params["top_dense1"]["kernel"]), want)
+
+
 def test_disk_reader_skips_torn_shard(tmp_path):
     folder = str(tmp_path / "res")
     log = DiskLogger(folder)

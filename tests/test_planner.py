@@ -148,6 +148,28 @@ def test_committed_actions_replay():
     assert p.committed_actions is None
 
 
+def test_check_thrashing():
+    f = DepthMapperAndPlanner.check_thrashing
+    assert f(4, [0, 1, 2, 1, 2])
+    assert not f(4, [0, 1, 1, 1, 2])  # not alternating
+    assert not f(4, [2, 1, 2, 0])  # last action is forward
+    assert not f(8, [1, 2, 1, 2])  # history too short
+
+
+def test_fix_thrashing_commits_sequence():
+    p = make_planner(fix_thrashing=True)
+    # wall ahead forces a turn; goal straight ahead behind the wall
+    p.map[:, :, 1] = 0
+    cur = p.loc_to_map(p.current_loc)
+    p.map[cur[0] - 12 : cur[0] + 13, cur[1] + 4, 1] = 10  # wall at +20 cm
+    goal = p.start_pos + np.array([0.0, 0.0, -2.0])  # 2 m ahead
+    p.last_act = ACT_RIGHT
+    act = p.get_action_toward(goal)
+    if act == ACT_LEFT:  # reversal detected -> sequence committed
+        assert p.committed_actions is not None
+        assert p.committed_actions[1][0] == ACT_LEFT
+
+
 def test_close_small_openings_fallback():
     """If opening the map disconnects the agent, the planner retries with
     fewer erosions until reachable (reference slam.py:333-347)."""

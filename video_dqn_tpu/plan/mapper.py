@@ -70,6 +70,7 @@ class DepthMapperAndPlanner:
         point_cnt: int = 2,
         forward_step_size: float = 0.25,
         log_visualization: bool = False,
+        fix_thrashing: bool = False,
     ):
         self.dt = dt
         self.camera_height = camera_height
@@ -85,6 +86,7 @@ class DepthMapperAndPlanner:
         self.elevation = 0.0
         self.resolution = 5
         self.log_visualization = log_visualization
+        self.fix_thrashing = fix_thrashing
         self._fmm_cache: Optional[Tuple[np.ndarray, np.ndarray]] = None
         self._sequences = _build_sequences(180 // dt)
         self._seq_plan = self._compile_sequences()
@@ -352,7 +354,32 @@ class DepthMapperAndPlanner:
         score = np.where(collided, 1.0, score)
         # NaN-safe: unreachable cells are inf already
         best = int(np.argmin(score))
-        return self._sequences[best][0]
+        act = self._sequences[best][0]
+        # anti-thrash: when the chosen action reverses the previous
+        # rotation, commit to the whole sequence so the agent cannot
+        # oscillate left/right forever (the canonical planner's machinery,
+        # reference map_and_plan_agent/slam.py:257-261)
+        if self.fix_thrashing and (
+            (act == ACT_LEFT and self.last_act == ACT_RIGHT)
+            or (act == ACT_RIGHT and self.last_act == ACT_LEFT)
+        ):
+            self.committed_actions = (np.asarray(pos), list(self._sequences[best]))
+        return act
+
+    @staticmethod
+    def check_thrashing(n: int, acts) -> bool:
+        """True when the last n actions alternate left/right
+        (reference map_and_plan_agent/slam.py:404-415)."""
+        if len(acts) <= n:
+            return False
+        last = acts[-1]
+        thrashing = last in (ACT_LEFT, ACT_RIGHT)
+        for i in range(2, n + 1):
+            if not thrashing:
+                break
+            thrashing = acts[-i] == 3 - last
+            last = acts[-i]
+        return thrashing
 
     def action_toward(self, goal_pos) -> bool:
         return self.get_action_toward(goal_pos) != ACT_STOP
