@@ -51,7 +51,7 @@ def main():
     from video_dqn_tpu.core import get_cfg_defaults
     import optax
 
-    batch_size = 256
+    batch_size = 512  # probed: 4077 f/s at 512 vs 4012 at 256 vs 3924 at 128
     cfg = get_cfg_defaults()
     cfg.PANORAMA = False
     cfg.ARCHITECTURE = "extra_capacity"

@@ -215,6 +215,27 @@ def test_assemble_episodes_schema(tmp_path, rng):
     assert (df["inverse_actions"] == 0).all()
 
 
+def test_image_stream_batches(tmp_path, rng):
+    from PIL import Image
+
+    from video_dqn_tpu.data.image_streams import ImageStream
+
+    d = tmp_path / "ims"
+    d.mkdir()
+    paths = []
+    for i in range(5):
+        p = d / f"{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), np.uint8)).save(p)
+        paths.append(str(p))
+    pairs = np.array([[paths[i], paths[i + 1]] for i in range(4)])
+    stream = ImageStream(pairs, image_size=32)
+    assert len(stream) == 4
+    before, after = next(stream.batches(batch_size=3))
+    assert before.shape == (3, 32, 32, 3) and after.shape == (3, 32, 32, 3)
+    b0, a0 = stream[0]
+    np.testing.assert_array_equal(before[0], b0)
+
+
 # ---- downloader ----------------------------------------------------------
 
 def test_download_backoff_and_resume(tmp_path):
