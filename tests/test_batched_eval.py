@@ -1,0 +1,91 @@
+"""Cross-episode batched evaluation: results must be identical to the
+sequential runner (same generators, only device-call batching differs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from video_dqn_tpu.eval import make_model_scorer, ours_evaluate
+from video_dqn_tpu.eval.batched_runner import make_multiclass_scorer, run_policy_batched
+from video_dqn_tpu.eval.fixtures import make_env_and_episode
+from video_dqn_tpu.sim.gibson import relevant_locations
+from tests.test_eval import eval_cfg
+
+SIZE = 64
+
+
+def make_model():
+    from video_dqn_tpu.models.qnet import HabitatDQN
+
+    model = HabitatDQN(action_dim=3, extra_capacity=False, panorama=False,
+                       dtype=jnp.float32)
+    variables = model.init(jax.random.key(3), jnp.zeros((1, 1, SIZE, SIZE, 3)), False)
+    return model, variables["params"], variables.get("batch_stats", {})
+
+
+def build_fixtures():
+    """Two episodes in two distinct 'houses' (different goals)."""
+    episodes, houses = [], {}
+    for i, (gc, sc) in enumerate([((6, 6), (2, 2)), ((14, 8), (3, 9))]):
+        _, house, ep = make_env_and_episode(gc, sc, size=SIZE)
+        name = f"H{i}"
+        episodes.append((name, *ep[1:]))
+        houses[name] = house
+    return episodes, houses
+
+
+def fresh_env(house, config=None):
+    env, _, _ = make_env_and_episode(size=SIZE)
+    env.goals = []
+    return env
+
+
+def place(env, house, ep):
+    hn, floor, class_label, goal_dist, pos, rot = ep
+    loc = env.sample_start_state(int(floor))[0]
+    env.goals = relevant_locations(
+        loc, house.object_locations_for_habitat_dest[class_label]
+    )
+    env.set_agent_state(pos, rot)
+
+
+def test_batched_matches_sequential(tmp_path):
+    model, params, stats = make_model()
+    episodes, houses = build_fixtures()
+
+    seq_results = {}
+    for i, ep in enumerate(episodes):
+        env = fresh_env(None)
+        place(env, houses[ep[0]], ep)
+        scorer = make_model_scorer(model, params, stats, 4, image_size=SIZE)
+        cfg = eval_cfg(SLAM=True, SEED=1)
+        seq_results[i] = ours_evaluate(cfg, env, ep, houses[ep[0]], i, scorer)
+
+    cfg = eval_cfg(SLAM=True, SEED=1, RESULT_LOCATION=str(tmp_path / "r"))
+    scorer = make_multiclass_scorer(model, params, stats, image_size=SIZE)
+    results = run_policy_batched(
+        cfg, episodes, env_factory=fresh_env,
+        house_factory=lambda name: houses[name],
+        scorer=scorer, class_index_of=True, max_concurrent=2, debug=True,
+    )
+    assert set(results.keys()) == {0, 1}
+    for i in range(2):
+        np.testing.assert_allclose(results[i], seq_results[i], atol=1e-5)
+
+
+def test_batched_writes_results(tmp_path):
+    model, params, stats = make_model()
+    episodes, houses = build_fixtures()
+    cfg = eval_cfg(SLAM=True, SEED=1, RESULT_LOCATION=str(tmp_path / "r"))
+    scorer = make_multiclass_scorer(model, params, stats, image_size=SIZE)
+    run_policy_batched(
+        cfg, episodes, env_factory=fresh_env,
+        house_factory=lambda name: houses[name],
+        scorer=scorer, class_index_of=True, max_concurrent=4,
+    )
+    from video_dqn_tpu.eval import display_results
+
+    mean = display_results(cfg, quiet=True)
+    assert mean is not None

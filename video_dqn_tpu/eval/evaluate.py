@@ -135,7 +135,39 @@ def ours_evaluate(
     planner: Optional[DepthMapperAndPlanner] = None,
     map_max_dim: Optional[float] = None,
 ):
-    """Run one episode; returns SPL (or the step log in STOP mode)."""
+    """Run one episode; returns SPL (or the step log in STOP mode).
+    Thin synchronous driver of episode_generator — the batched
+    multi-episode runner (eval/batched_runner.py) services the same
+    generator with cross-episode fused score calls."""
+    gen = episode_generator(
+        config, env, ep, house, epind, visualize, model_config, detector,
+        planner, map_max_dim,
+    )
+    try:
+        request = next(gen)
+        while True:
+            request = gen.send(scorer(request))
+    except StopIteration as stop:
+        return stop.value
+
+
+def episode_generator(
+    config,
+    env,
+    ep,
+    house,
+    epind: int,
+    visualize: bool = False,
+    model_config=None,
+    detector=None,
+    planner: Optional[DepthMapperAndPlanner] = None,
+    map_max_dim: Optional[float] = None,
+):
+    """Episode as a coroutine: yields uint8 view batches to be scored,
+    receives (V,) scores, returns SPL (STOP mode: the step log). All env
+    stepping, mapping, and planning happen inside; only Q scoring crosses
+    the boundary — which is what lets a batched driver fuse the device
+    calls of many concurrent episodes."""
     hn, floor, class_label, goal_dist, pos, rot = ep
 
     rng = np.random.default_rng(config.SEED)
@@ -200,7 +232,7 @@ def ours_evaluate(
                 [np.asarray(v["depth"])[..., 0] * 1000.0 for v in views]
             )
             planner.add_observations_batch(depths, np.array(locs, np.float32))
-            scores = scorer(np.stack([v["rgb"] for v in views]))
+            scores = yield np.stack([v["rgb"] for v in views])
             if detector is not None and config.COMBINE_DETECTOR:
                 scores = fuse_detector_scores(
                     scores, [v["rgb"] for v in views], detector, class_label,
@@ -219,7 +251,7 @@ def ours_evaluate(
                     np.asarray(ims["depth"]) * 1000.0, loc
                 )
                 dest = check_movement(env, loc[2], planner, rng)
-                sc = scorer(np.asarray(ims["rgb"])[None])[0]
+                sc = (yield np.asarray(ims["rgb"])[None])[0]
                 if detector is not None and config.COMBINE_DETECTOR:
                     sc = fuse_detector_scores(
                         np.array([sc]), [ims["rgb"]], detector, class_label,
@@ -248,7 +280,7 @@ def ours_evaluate(
 
     macro_steps = 50 if config.SLAM else 30
 
-    semantic_reasoning()
+    yield from semantic_reasoning()
     agent_steps_taken += NUM_ROTATIONS
 
     for _macro in range(macro_steps):
@@ -307,7 +339,7 @@ def ours_evaluate(
                 return output()
             if agent_steps_taken >= MAX_STEPS:
                 return output()
-        semantic_reasoning()
+        yield from semantic_reasoning()
         agent_steps_taken += NUM_ROTATIONS
         if agent_steps_taken >= MAX_STEPS:
             return output()

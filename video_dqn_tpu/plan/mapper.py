@@ -346,13 +346,13 @@ class DepthMapperAndPlanner:
         fy = np.clip(final_cells[:, 0], 0, distances.shape[0] - 1)
         fx = np.clip(final_cells[:, 1], 0, distances.shape[1] - 1)
         start_cell = self.loc_to_map(self.current_loc)
-        score = (
-            distances[fy, fx]
-            - distances[start_cell[0], start_cell[1]]
-            + lens * 0.1
-        )
-        score = np.where(collided, 1.0, score)
-        # NaN-safe: unreachable cells are inf already
+        with np.errstate(invalid="ignore"):  # inf - inf when unreachable
+            score = (
+                distances[fy, fx]
+                - distances[start_cell[0], start_cell[1]]
+                + lens * 0.1
+            )
+        score = np.where(collided | np.isnan(score), 1.0, score)
         best = int(np.argmin(score))
         act = self._sequences[best][0]
         # anti-thrash: when the chosen action reverses the previous
