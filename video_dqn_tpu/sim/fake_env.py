@@ -132,6 +132,20 @@ class FakeNavEnv:
     def angle(self) -> float:
         return self._ang % (2 * math.pi)
 
+    def set_agent_position(self, pos) -> None:
+        self._pos = np.asarray(pos, np.float64).copy()
+
+    def set_agent_rotation(self, rot) -> None:
+        self._ang = float(rot)
+
+    def sample_reachable_goal(self, fixed_floor: Optional[int] = None):
+        """Random navigable point with finite geodesic distance from the
+        agent (reference habitat_test_env.py:158-162)."""
+        while True:
+            g, _ = self.sample_start_state(fixed_floor)
+            if self.geodesic_distance(self._pos, g) != float("inf"):
+                return g
+
     def sample_start_state(self, fixed_floor: Optional[int] = None):
         while True:
             zi = self._rng.integers(0, self.grid.shape[0])

@@ -89,6 +89,14 @@ class GibsonHouse:
         return [o for o in self.semantics["object"].values() if o["class_"] == cls]
 
     @property
+    def toilets(self) -> List[Dict]:
+        return self._objects_of("toilet")
+
+    @property
+    def toilet_locations_habitat(self) -> List[np.ndarray]:
+        return [gibson_to_habitat_coordinates(t["location"]) for t in self.toilets]
+
+    @property
     def object_locations(self) -> Dict[str, List[np.ndarray]]:
         return {
             c: [gibson_to_habitat_coordinates(o["location"]) for o in self._objects_of(c)]
