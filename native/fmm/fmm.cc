@@ -96,6 +96,75 @@ void fmm_distance(const uint8_t* mask, int h, int w, const int32_t* goals_y,
   }
 }
 
+// Bounded variant: identical wavefront, but stops early when
+//  (a) the target cell (early_y, early_x) has been accepted AND the next
+//      heap distance exceeds accepted_target_dist + margin, or
+//  (b) the next heap distance exceeds max_dist (when max_dist >= 0).
+// Cells never accepted stay +inf. Because FMM accepts cells in
+// non-decreasing distance order, every cell whose true distance is within
+// the bound carries its exact full-solve value — the planner only reads
+// cells near the agent, so bounded solves are drop-in.
+void fmm_distance_bounded(const uint8_t* mask, int h, int w,
+                          const int32_t* goals_y, const int32_t* goals_x,
+                          int n_goals, int early_y, int early_x,
+                          double margin, double max_dist, double* out) {
+  const int n = h * w;
+  std::vector<uint8_t> accepted(n, 0);
+  for (int i = 0; i < n; ++i) out[i] = kInf;
+
+  std::priority_queue<HeapItem, std::vector<HeapItem>, std::greater<HeapItem>>
+      heap;
+  for (int g = 0; g < n_goals; ++g) {
+    int y = goals_y[g], x = goals_x[g];
+    if (y < 0 || y >= h || x < 0 || x >= w) continue;
+    int idx = y * w + x;
+    if (!mask[idx]) continue;
+    out[idx] = 0.0;
+    heap.push({0.0, idx});
+  }
+  const int early_idx =
+      (early_y >= 0 && early_y < h && early_x >= 0 && early_x < w)
+          ? early_y * w + early_x
+          : -1;
+  double stop_at = (max_dist >= 0) ? max_dist : kInf;
+
+  const int dy[4] = {-1, 1, 0, 0};
+  const int dx[4] = {0, 0, -1, 1};
+
+  while (!heap.empty()) {
+    HeapItem cur = heap.top();
+    if (cur.t > stop_at) break;
+    heap.pop();
+    if (accepted[cur.idx]) continue;
+    accepted[cur.idx] = 1;
+    if (cur.idx == early_idx) {
+      double lim = cur.t + margin;
+      if (lim < stop_at) stop_at = lim;
+    }
+    int cy = cur.idx / w, cx = cur.idx % w;
+    for (int k = 0; k < 4; ++k) {
+      int ny = cy + dy[k], nx = cx + dx[k];
+      if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
+      int nidx = ny * w + nx;
+      if (!mask[nidx] || accepted[nidx]) continue;
+      double tx = kInf, ty = kInf;
+      if (nx > 0 && mask[nidx - 1]) tx = std::min(tx, out[nidx - 1]);
+      if (nx < w - 1 && mask[nidx + 1]) tx = std::min(tx, out[nidx + 1]);
+      if (ny > 0 && mask[nidx - w]) ty = std::min(ty, out[nidx - w]);
+      if (ny < h - 1 && mask[nidx + w]) ty = std::min(ty, out[nidx + w]);
+      double t = solve_eikonal(tx, ty);
+      if (t < out[nidx]) {
+        out[nidx] = t;
+        heap.push({t, nidx});
+      }
+    }
+  }
+  // un-accepted cells may hold tentative (non-final) values: reset to inf
+  for (int i = 0; i < n; ++i) {
+    if (!accepted[i]) out[i] = kInf;
+  }
+}
+
 // Batched variant: solve n_maps independent problems (one goal each).
 // Amortizes the Python boundary when the eval loop scores many waypoint
 // candidates.

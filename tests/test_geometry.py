@@ -214,6 +214,31 @@ def test_fmm_distances_reasonable():
     # up to ~6% (skfmm's default order shows the same band)
     assert 13.5 < diag < 15.2
 
+def test_fmm_bounded_matches_full_inside_band(rng):
+    mask = rng.random((60, 60)) < 0.85
+    mask[30, 30] = mask[30, 45] = True
+    full = fmm_distance(mask, [(30, 30)])
+    for engine in ("native", "python"):
+        bounded = fmm_distance(mask, [(30, 30)], engine=engine,
+                               early_stop=(30, 45), margin=10.0)
+        agent_d = full[30, 45]
+        inside = np.isfinite(full) & (full <= agent_d + 10.0 - 1e-9)
+        # every cell within the band carries its exact full-solve value
+        np.testing.assert_allclose(bounded[inside], full[inside], atol=1e-9)
+        # and nothing outside leaks a tentative (non-final) value
+        assert not np.isfinite(bounded[full > agent_d + 10.0 + 1.0]).any()
+
+
+def test_fmm_max_dist_bound():
+    mask = np.ones((50, 50), bool)
+    d = fmm_distance(mask, [(25, 25)], max_dist=8.0)
+    assert np.isfinite(d[25, 33]) and d[25, 33] == pytest.approx(8.0, abs=0.01)
+    assert not np.isfinite(d[25, 40])
+    full = fmm_distance(mask, [(25, 25)])
+    inside = np.isfinite(d)
+    np.testing.assert_allclose(d[inside], full[inside], atol=1e-9)
+
+
 def test_fmm_masked_unreachable():
     mask = np.ones((10, 10), bool)
     mask[:, 5] = False  # wall splits the grid

@@ -50,6 +50,20 @@ def _load_native():
             ctypes.POINTER(ctypes.c_double),
         ]
         lib.fmm_distance.restype = None
+        lib.fmm_distance_bounded.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.fmm_distance_bounded.restype = None
         _lib = lib
     except Exception:
         _lib = None
@@ -60,28 +74,53 @@ def fmm_distance(
     traversible: np.ndarray,
     goals: Sequence[Tuple[int, int]],
     engine: Optional[str] = None,
+    early_stop: Optional[Tuple[int, int]] = None,
+    margin: float = 0.0,
+    max_dist: Optional[float] = None,
 ) -> np.ndarray:
     """traversible: (H, W) bool; goals: list of (y, x) seed cells.
-    Returns float64 (H, W) distances (+inf where masked/unreached)."""
+    Returns float64 (H, W) distances (+inf where masked/unreached).
+
+    Bounded solves (either knob; values inside the bound are exact):
+      early_stop=(y, x): stop once that cell is accepted plus `margin`
+        extra wavefront distance — the planner's "distance to the agent +
+        neighborhood" query explores a band instead of the whole map;
+      max_dist: stop the wavefront at this distance (cells beyond: +inf).
+    """
     mask = np.ascontiguousarray(traversible.astype(np.uint8))
     h, w = mask.shape
     gy = np.ascontiguousarray([g[0] for g in goals], np.int32)
     gx = np.ascontiguousarray([g[1] for g in goals], np.int32)
+    bounded = early_stop is not None or max_dist is not None
 
     lib = _load_native() if engine in (None, "native") else None
     if lib is not None and engine != "python":
         out = np.empty(h * w, np.float64)
-        lib.fmm_distance(
-            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            h,
-            w,
-            gy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            gx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            len(goals),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        )
+        if bounded:
+            ey, ex = early_stop if early_stop is not None else (-1, -1)
+            lib.fmm_distance_bounded(
+                mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                h, w,
+                gy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                gx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(goals), int(ey), int(ex), float(margin),
+                float(max_dist if max_dist is not None else -1.0),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            )
+        else:
+            lib.fmm_distance(
+                mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                h, w,
+                gy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                gx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(goals),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            )
         return out.reshape(h, w)
-    return _fmm_python(mask, list(zip(gy.tolist(), gx.tolist())))
+    return _fmm_python(
+        mask, list(zip(gy.tolist(), gx.tolist())),
+        early_stop=early_stop, margin=margin, max_dist=max_dist,
+    )
 
 
 def _solve_eikonal(tx: float, ty: float) -> float:
@@ -96,7 +135,8 @@ def _solve_eikonal(tx: float, ty: float) -> float:
     return 0.5 * (s + np.sqrt(disc))
 
 
-def _fmm_python(mask: np.ndarray, goals) -> np.ndarray:
+def _fmm_python(mask: np.ndarray, goals, early_stop=None, margin: float = 0.0,
+                max_dist=None) -> np.ndarray:
     h, w = mask.shape
     out = np.full((h, w), np.inf)
     accepted = np.zeros((h, w), bool)
@@ -105,11 +145,16 @@ def _fmm_python(mask: np.ndarray, goals) -> np.ndarray:
         if 0 <= y < h and 0 <= x < w and mask[y, x]:
             out[y, x] = 0.0
             heapq.heappush(heap, (0.0, y, x))
+    stop_at = max_dist if max_dist is not None else np.inf
     while heap:
+        if heap[0][0] > stop_at:
+            break
         t, cy, cx = heapq.heappop(heap)
         if accepted[cy, cx]:
             continue
         accepted[cy, cx] = True
+        if early_stop is not None and (cy, cx) == tuple(early_stop):
+            stop_at = min(stop_at, t + margin)
         for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
             ny, nx = cy + dy, cx + dx
             if not (0 <= ny < h and 0 <= nx < w):
@@ -128,4 +173,5 @@ def _fmm_python(mask: np.ndarray, goals) -> np.ndarray:
             if tt < out[ny, nx]:
                 out[ny, nx] = tt
                 heapq.heappush(heap, (tt, ny, nx))
+    out[~accepted] = np.inf  # tentative values outside the bound are not final
     return out

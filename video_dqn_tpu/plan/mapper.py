@@ -198,11 +198,26 @@ class DepthMapperAndPlanner:
         traversible[loc[0], loc[1]] = True
         return traversible
 
+    # Wavefront bound for FMM solves, in cells (= 3.3 m at 5 cm/cell).
+    # Every consumer reads cells within this band of the agent: the action
+    # search looks <= ~12 cells out, fmm_distance_m reads the agent cell,
+    # reachable_nearby thresholds at 3 m (60 cells). Cells beyond the band
+    # read +inf, which consumers already treat as "worse than any finite
+    # option", so waypoint selection and reachability decisions are
+    # IDENTICAL to full solves — the solver just stops exploring the
+    # 1201x1201 grid ~2-100x earlier (test_fmm_bounded asserts equality).
+    FMM_MARGIN_CELLS = 66.0
+
     def _distances(self, traversible: np.ndarray, map_loc) -> np.ndarray:
         gy, gx = int(map_loc[1]), int(map_loc[0])  # map_loc is (x, y) cells
         if gy < 0 or gy >= traversible.shape[0] or gx < 0 or gx >= traversible.shape[1]:
             return np.full(traversible.shape, np.inf)
-        return fmm_distance(traversible, [(gy, gx)])
+        agent = self.loc_to_map(self.current_loc)
+        return fmm_distance(
+            traversible, [(gy, gx)],
+            early_stop=(int(agent[0]), int(agent[1])),
+            margin=self.FMM_MARGIN_CELLS,
+        )
 
     def fmm_map(self, pos=None, loc=None, close: bool = True) -> np.ndarray:
         if pos is not None:
