@@ -88,6 +88,7 @@ class DepthMapperAndPlanner:
         self.log_visualization = log_visualization
         self.fix_thrashing = fix_thrashing
         self._fmm_cache: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self._trav_cache: Optional[Tuple[Tuple[int, int], np.ndarray]] = None
         self._sequences = _build_sequences(180 // dt)
         self._seq_plan = self._compile_sequences()
 
@@ -187,15 +188,23 @@ class DepthMapperAndPlanner:
         )
         self.map += np.asarray(delta)
         self._fmm_cache = None
+        self._trav_cache = None
 
     # -- traversibility + FMM --------------------------------------------
     def get_traversible(self) -> np.ndarray:
+        """Dilated-obstacle complement with the agent's cell forced free.
+        Cached per (map version, agent cell): the eval inner loop asks
+         2+ times per step and the dilation is a device call."""
         loc = self.loc_to_map(self.current_loc)
+        key = (int(loc[0]), int(loc[1]))
+        if self._trav_cache is not None and self._trav_cache[0] == key:
+            return self._trav_cache[1]
         obstacle = self.map[:, :, 1] >= self.point_cnt
         if self.mark_locs:
             obstacle[loc[0], loc[1]] = False
         traversible = ~np.asarray(binary_dilation_disk1(jnp.asarray(obstacle)))
         traversible[loc[0], loc[1]] = True
+        self._trav_cache = (key, traversible)
         return traversible
 
     # Wavefront bound for FMM solves, in cells (= 3.3 m at 5 cm/cell).
@@ -404,6 +413,7 @@ class DepthMapperAndPlanner:
         old_loc = self.current_loc.copy()
         self.new_update_loc(pos, ang)
         self._fmm_cache = None
+        self._trav_cache = None
         depth = obs["depth"]
         if depth.ndim == 4:
             depth = depth[0]
@@ -430,6 +440,8 @@ class DepthMapperAndPlanner:
                             and 0 <= cell[1] < self.map.shape[1]
                         ):
                             self.map[cell[0], cell[1], 1] += self.point_cnt
+                self._fmm_cache = None
+                self._trav_cache = None
 
         if self.committed_actions is not None:
             if self.committed_actions[1] and action == self.committed_actions[1][0]:
