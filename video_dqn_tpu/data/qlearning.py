@@ -142,6 +142,11 @@ class QLearningBatcher:
     def batches(self, batch_size: int):
         """Infinite shuffled batch stream (the reference's loopLoader +
         shuffle DataLoader, train_q_network.py:60-67,98)."""
+        if batch_size > self.n:
+            raise ValueError(
+                f"batch_size {batch_size} exceeds dataset size {self.n}; "
+                f"drop_last semantics would yield no batches"
+            )
         while True:
             perm = self._rng.permutation(self.n)
             for i in range(0, self.n - batch_size + 1, batch_size):  # drop_last
