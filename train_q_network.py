@@ -33,7 +33,40 @@ def main():
         if latest is not None:
             print(f"Resuming from: {latest}")
             resume_from = latest
-    run_train(config, resume_from)
+
+    # value-map rendering at checkpoints when a pre-rendered grid root is
+    # configured (the reference's visualize_house hook,
+    # train_q_network.py:70-81 — crash-gated properly here)
+    visualize_hook = None
+    if config.VISUALIZATION_DATA_ROOT:
+        import os
+
+        import jax
+
+        from video_dqn_tpu.viz.value_map import build_value_maps, render_value_map
+        from video_dqn_tpu.sim.gibson import CLASS_LABELS
+
+        grids = [
+            d for d in sorted(os.listdir(config.VISUALIZATION_DATA_ROOT))
+            if os.path.isdir(os.path.join(config.VISUALIZATION_DATA_ROOT, d))
+        ]
+
+        def visualize_hook(model, state, sample_number):
+            params = jax.device_get(state.params)
+            stats = jax.device_get(state.batch_stats)
+            for name in grids:
+                root = os.path.join(config.VISUALIZATION_DATA_ROOT, name)
+                maps, agg, free = build_value_maps(
+                    model, params, stats, root,
+                    panorama=(config.PANORAMA or config.PREVIOUS_IMAGES),
+                )
+                for i, label in enumerate(CLASS_LABELS):
+                    img = render_value_map(agg[:, :, i], free)
+                    config.writer.add_image(
+                        f"value_map_{name}/{label}", img, sample_number
+                    )
+
+    run_train(config, resume_from, visualize_hook=visualize_hook)
 
 
 if __name__ == "__main__":
