@@ -50,11 +50,18 @@ inline double solve_eikonal(double tx, double ty) {
 
 extern "C" {
 
-void fmm_distance(const uint8_t* mask, int h, int w, const int32_t* goals_y,
+void fmm_distance(const uint8_t* mask_in, int h, int w, const int32_t* goals_y,
                   const int32_t* goals_x, int n_goals, double* out) {
   const int n = h * w;
   std::vector<uint8_t> accepted(n, 0);
   for (int i = 0; i < n; ++i) out[i] = kInf;
+
+  // Goal cells are forced traversible, matching the reference's unmask of
+  // the goal before solving (/root/reference/evaluation/slam.py:27-29:
+  // `traversible_ma[small_goal] = 0`). A waypoint whose cell was mapped as
+  // an obstacle after selection must still yield a distance field.
+  std::vector<uint8_t> mask_vec(mask_in, mask_in + n);
+  uint8_t* mask = mask_vec.data();
 
   std::priority_queue<HeapItem, std::vector<HeapItem>, std::greater<HeapItem>>
       heap;
@@ -62,7 +69,7 @@ void fmm_distance(const uint8_t* mask, int h, int w, const int32_t* goals_y,
     int y = goals_y[g], x = goals_x[g];
     if (y < 0 || y >= h || x < 0 || x >= w) continue;
     int idx = y * w + x;
-    if (!mask[idx]) continue;
+    mask[idx] = 1;
     out[idx] = 0.0;
     heap.push({0.0, idx});
   }
@@ -104,7 +111,7 @@ void fmm_distance(const uint8_t* mask, int h, int w, const int32_t* goals_y,
 // non-decreasing distance order, every cell whose true distance is within
 // the bound carries its exact full-solve value — the planner only reads
 // cells near the agent, so bounded solves are drop-in.
-void fmm_distance_bounded(const uint8_t* mask, int h, int w,
+void fmm_distance_bounded(const uint8_t* mask_in, int h, int w,
                           const int32_t* goals_y, const int32_t* goals_x,
                           int n_goals, int early_y, int early_x,
                           double margin, double max_dist, double* out) {
@@ -112,13 +119,17 @@ void fmm_distance_bounded(const uint8_t* mask, int h, int w,
   std::vector<uint8_t> accepted(n, 0);
   for (int i = 0; i < n; ++i) out[i] = kInf;
 
+  // Goal cells forced traversible — see fmm_distance.
+  std::vector<uint8_t> mask_vec(mask_in, mask_in + n);
+  uint8_t* mask = mask_vec.data();
+
   std::priority_queue<HeapItem, std::vector<HeapItem>, std::greater<HeapItem>>
       heap;
   for (int g = 0; g < n_goals; ++g) {
     int y = goals_y[g], x = goals_x[g];
     if (y < 0 || y >= h || x < 0 || x >= w) continue;
     int idx = y * w + x;
-    if (!mask[idx]) continue;
+    mask[idx] = 1;
     out[idx] = 0.0;
     heap.push({0.0, idx});
   }

@@ -245,3 +245,31 @@ def test_fmm_masked_unreachable():
     d = fmm_distance(mask, [(0, 0)])
     assert np.isinf(d[0, 9])
     assert np.isfinite(d[9, 0])
+
+
+def test_fmm_goal_on_obstacle_still_solves():
+    """Goal cells are forced traversible before seeding, matching the
+    reference's unmask (/root/reference/evaluation/slam.py:27-29). A
+    waypoint whose cell was mapped as an obstacle after selection (stale
+    open-list entry) must still yield a finite field, not all-inf."""
+    mask = np.ones((21, 21), bool)
+    mask[10, 10] = False  # the goal cell itself is an obstacle
+    for engine in ("native", "python"):
+        d = fmm_distance(mask, [(10, 10)], engine=engine)
+        assert d[10, 10] == 0.0
+        assert np.isfinite(d[10, 12])
+        assert abs(d[10, 12] - 2.0) < 0.2
+    dn = fmm_distance(mask, [(10, 10)], engine="native")
+    dp = fmm_distance(mask, [(10, 10)], engine="python")
+    np.testing.assert_allclose(dn, dp, rtol=1e-9, atol=1e-9)
+
+
+def test_fmm_goal_on_obstacle_bounded():
+    mask = np.ones((31, 31), bool)
+    mask[5:26, 15] = False
+    mask[15, 15] = False
+    for engine in ("native", "python"):
+        d = fmm_distance(mask, [(15, 15)], engine=engine,
+                         early_stop=(15, 20), margin=2.0)
+        assert d[15, 15] == 0.0
+        assert np.isfinite(d[15, 20])

@@ -37,3 +37,23 @@ def test_history_paths_respect_zero_padding(tmp_path):
     # descending ids clamped at start
     ids = [int(p[-8:-4]) for p in paths]
     assert ids == sorted(ids, reverse=True) or len(set(ids)) < 4
+
+
+def test_confidence_reward_terminal_is_reward(tmp_path):
+    """In confidence mode the reference returns the raw detector scores in
+    BOTH the reward and terminal slots — its computed terminal locals are
+    discarded (/root/reference/dataloaders/q_learning_real.py:76-98) — so
+    Q_a is attenuated by (1 - confidence). ADVICE round-1 regression."""
+    feather = make_synthetic_dataset(str(tmp_path / "ds"), num_videos=1,
+                                     frames_per_video=12, image_size=48)
+    b = QLearningBatcher(feather, one_action=True, confidence_reward=True,
+                         image_size=48, seed=0)
+    np.testing.assert_array_equal(b.terminal, b.reward)
+    assert b.reward.dtype == np.float32
+    # confidence scores are the raw (unthresholded) detector outputs
+    assert ((b.reward > 0) & (b.reward < 1)).any()
+
+    bb = QLearningBatcher(feather, one_action=True, confidence_reward=False,
+                          image_size=48, seed=0)
+    np.testing.assert_array_equal(bb.terminal, bb.reward)
+    assert set(np.unique(bb.reward)) <= {0.0, 1.0}

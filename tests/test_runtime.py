@@ -51,3 +51,34 @@ def test_step_timer_logs_rates(tmp_path):
     rate = read_metrics(str(tmp_path / "m"), "perf/train_items_per_sec")
     assert len(rate) == 1 and rate[0]["value"] > 0
     assert "train" in timer.summary()
+
+
+def test_prefetch_producer_unblocks_on_early_stop():
+    """A consumer that stops early must not leave the producer thread
+    blocked in q.put forever (ADVICE round 1): the producer re-checks the
+    stop event while the queue is full and exits promptly."""
+    import threading
+    import time
+
+    produced = []
+    release = threading.Event()
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield {"x": np.ones((2,)) * i}
+
+    it = prefetch_to_device(gen(), depth=1)
+    next(it)
+    it.close()  # generator exit -> finally: stop + drain
+
+    # give the daemon thread a beat to notice the stop event
+    deadline = time.time() + 5.0
+    n_after_close = len(produced)
+    while time.time() < deadline:
+        time.sleep(0.2)
+        if len(produced) == n_after_close:
+            break
+        n_after_close = len(produced)
+    # producer stopped long before exhausting the 100-item stream
+    assert len(produced) < 100

@@ -239,3 +239,45 @@ def test_multichip_sharding_applied(mesh8):
     assert np.isfinite(float(metrics["loss"]))
     k2 = state2.params["top_dense1"]["kernel"]
     assert k2.sharding.spec == k.sharding.spec
+
+
+def test_backbone_weights_graft(tmp_path):
+    """BACKBONE_WEIGHTS initializes the backbone params AND batch_stats from
+    a torchvision-format state dict (ADVICE round 1: the reference always
+    builds from resnet18(pretrained=True), and extra_capacity freezes the
+    BN statistics, so a random-stats init is a permanent divergence)."""
+    import torch
+
+    from tests.torch_ref import TorchResNet18
+
+    torch.manual_seed(7)
+    tref = TorchResNet18()
+    # make running stats distinguishable from the (0, 1) init
+    with torch.no_grad():
+        tref(torch.randn(2, 3, 64, 64))
+        tref(torch.randn(2, 3, 64, 64))
+    path = str(tmp_path / "resnet18.pth")
+    torch.save(tref.state_dict(), path)
+
+    cfg = tiny_config()
+    cfg.BACKBONE_WEIGHTS = path
+    _, state, _ = create_train_state(cfg, jax.random.key(0))
+
+    sd = tref.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(state.params["resnet"]["conv1"]["kernel"]),
+        sd["conv1.weight"].numpy().transpose(2, 3, 1, 0),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.batch_stats["resnet"]["layer4_1"]["bn2"]["var"]),
+        sd["layer4.1.bn2.running_var"].numpy(),
+        rtol=1e-5,
+    )
+    # target net starts as a copy of the grafted params
+    np.testing.assert_array_equal(
+        np.asarray(state.target_params["resnet"]["conv1"]["kernel"]),
+        np.asarray(state.params["resnet"]["conv1"]["kernel"]),
+    )
+    # head stays randomly initialized (not present in the backbone sd)
+    assert "top_dense1" in state.params

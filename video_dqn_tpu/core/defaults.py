@@ -52,6 +52,15 @@ def get_cfg_defaults() -> ConfigNode:
             "KL_BACKWARDS": False,
             "LOG_SIGMA": False,
             "VISUALIZATION_DATA_ROOT": "",
+            # Path to a torchvision resnet18 state dict (.pth/.torch) used to
+            # initialize the Q-net backbone, converted on load. The reference
+            # always builds from resnet18(pretrained=True)
+            # (/root/reference/archs/HabitatDQNMultiAction.py:12); this image
+            # has no egress, so the path must point at a locally provided
+            # file (see scripts/convert_weights.py for the source URL).
+            # Empty = random init, with a loud warning when extra_capacity
+            # would freeze the random BN statistics.
+            "BACKBONE_WEIGHTS": "",
             # ---- TPU-native additions (no reference equivalent) ----
             "TPU": ConfigNode(
                 {

@@ -39,15 +39,28 @@ def prefetch_to_device(
             return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
         return jax.tree_util.tree_map(jax.device_put, batch)
 
+    def blocking_put(item) -> bool:
+        """put() that re-checks stop while the queue is full, so a consumer
+        that stops iterating early (num_steps break, exception) can't leave
+        the producer blocked forever holding device-resident batches."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for batch in batch_iter:
                 if stop.is_set():
                     return
-                q.put(put(batch))
-            q.put(sentinel)
+                if not blocking_put(put(batch)):
+                    return
+            blocking_put(sentinel)
         except Exception as e:  # surface in consumer
-            q.put(e)
+            blocking_put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -61,3 +74,9 @@ def prefetch_to_device(
             yield item
     finally:
         stop.set()
+        # release any device-resident batches still queued
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

@@ -73,10 +73,13 @@ class QLearningBatcher:
         scores = self.cols["detector_score"]  # (N, 5)
         if confidence_reward:
             self.reward = scores.astype(np.float32)
-            self.terminal = np.zeros_like(self.reward)
         else:
             self.reward = (scores > DETECTION_THRESHOLDS).astype(np.float32)
-            self.terminal = self.reward
+        # The reference returns the reward in the terminal slot in BOTH
+        # modes — its computed `termainl`/`terminal` locals are discarded
+        # (/root/reference/dataloaders/q_learning_real.py:76-98), so in
+        # confidence mode Q_a is attenuated by (1 - confidence).
+        self.terminal = self.reward
         self.valid_mask = np.ones_like(self.reward)
 
         steps = self.cols["steps_to_reward"]

@@ -141,8 +141,13 @@ def _fmm_python(mask: np.ndarray, goals, early_stop=None, margin: float = 0.0,
     out = np.full((h, w), np.inf)
     accepted = np.zeros((h, w), bool)
     heap = []
+    # Goal cells are forced traversible, matching the reference's unmask
+    # (/root/reference/evaluation/slam.py:27-29) — a goal mapped as an
+    # obstacle after selection must still produce a distance field.
+    mask = mask.copy()
     for y, x in goals:
-        if 0 <= y < h and 0 <= x < w and mask[y, x]:
+        if 0 <= y < h and 0 <= x < w:
+            mask[y, x] = 1
             out[y, x] = 0.0
             heapq.heappush(heap, (0.0, y, x))
     stop_at = max_dist if max_dist is not None else np.inf

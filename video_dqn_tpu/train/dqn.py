@@ -66,9 +66,63 @@ class TrainState(flax.struct.PyTreeNode):
     ema_loss: jax.Array
 
 
+def _graft(dst, src, path=""):
+    """Copy leaves of `src` onto matching keys of `dst` (shape-checked);
+    keys absent from `dst` (e.g. the torchvision fc) are ignored."""
+    out = dict(dst)
+    for k, v in dst.items():
+        if k not in src:
+            continue
+        if isinstance(v, dict):
+            out[k] = _graft(v, src[k], f"{path}{k}/")
+        else:
+            leaf = jnp.asarray(src[k], dtype=v.dtype)
+            assert leaf.shape == v.shape, (
+                f"backbone graft shape mismatch at {path}{k}: "
+                f"{leaf.shape} vs {v.shape}"
+            )
+            out[k] = leaf
+    return out
+
+
+def load_backbone_weights(config, params, batch_stats):
+    """Initialize the ResNet18 backbone from a torchvision state dict,
+    as the reference does with resnet18(pretrained=True)
+    (/root/reference/archs/HabitatDQNMultiAction.py:12,30-34).
+
+    With ARCHITECTURE='extra_capacity' the backbone BN always runs in
+    inference mode, so the grafted running statistics are exactly what the
+    forward consumes — leaving them at random init (mean 0, var 1) would
+    be a silent, permanent divergence from the reference recipe."""
+    path = getattr(config, "BACKBONE_WEIGHTS", "")
+    if not path:
+        if config.ARCHITECTURE == "extra_capacity":
+            print(
+                "WARNING: BACKBONE_WEIGHTS is unset — the backbone is random "
+                "and extra_capacity freezes its BatchNorm statistics at "
+                "random-init values. The reference trains from ImageNet "
+                "pretrained resnet18; see scripts/convert_weights.py."
+            )
+        return params, batch_stats
+    from video_dqn_tpu.models.torch_convert import (
+        convert_resnet18,
+        load_torch_state_dict,
+    )
+
+    sd = load_torch_state_dict(path)
+    rparams, rstats = convert_resnet18(sd)
+    params = dict(params)
+    batch_stats = dict(batch_stats)
+    params["resnet"] = _graft(params["resnet"], rparams, "resnet/")
+    batch_stats["resnet"] = _graft(batch_stats["resnet"], rstats, "resnet/")
+    print(f"Backbone initialized from {path}")
+    return params, batch_stats
+
+
 def create_train_state(config, rng) -> Tuple[Any, TrainState, optax.GradientTransformation]:
     model = build_qnet(config)
     params, batch_stats = init_qnet(model, rng)
+    params, batch_stats = load_backbone_weights(config, params, batch_stats)
     tx = optax.adam(config.LEARNING_RATE)
     opt_state = tx.init(params)
     state = TrainState(
