@@ -28,6 +28,10 @@ def main():
     parser.add_argument("-v", "--visualize", action="store_true")
     parser.add_argument("--fake-env", action="store_true",
                         help="run against the built-in fake environment")
+    parser.add_argument("--mesh-env", action="store_true",
+                        help="run against the mesh backend (extruded maze)")
+    parser.add_argument("--mesh-scene", default=None,
+                        help="PLY/OBJ scene file for the mesh backend")
     parser.add_argument("config", help="eval config yml")
     args = parser.parse_args()
 
@@ -45,7 +49,18 @@ def main():
         episodes = episodes[idx]
 
     kwargs = {}
-    if args.fake_env or episodes is None:
+    if args.mesh_env or args.mesh_scene:
+        # mesh simulator backend (real-scene path; procedural maze without
+        # a scene file)
+        from video_dqn_tpu.eval.fixtures import make_mesh_env_and_episode
+
+        env, house, ep = make_mesh_env_and_episode(mesh_path=args.mesh_scene)
+        episodes = np.array([ep], dtype=object)
+        kwargs = {
+            "env_factory": lambda h, mc, c: env,
+            "house_factory": lambda name: house,
+        }
+    elif args.fake_env or episodes is None:
         # no licensed Gibson assets: exercise the full loop on the fake env
         from video_dqn_tpu.eval.fixtures import make_env_and_episode
 

@@ -90,8 +90,13 @@ def make_model_scorer(model, params, batch_stats, class_index: int,
 
 
 def make_geodesic_scorer(env) -> Callable:
-    """Oracle baseline: negative geodesic distance-to-goal from the agent's
-    current position (same for all views at a reasoning stop)."""
+    """Oracle baseline. View scores are the negative geodesic
+    distance-to-goal from the agent's current position; additionally the
+    scorer exposes `score_dest`, which the policy uses to rank candidate
+    WAYPOINTS by the oracle value of the waypoint itself — the directional
+    signal a view-invariant score cannot carry. (No reference counterpart:
+    the reference's SCORE='geodesic' is only a run-naming default,
+    policy_defaults.py:8 — its evaluate always scores with the model.)"""
 
     def scorer(images_uint8) -> np.ndarray:
         v = len(images_uint8)
@@ -99,6 +104,11 @@ def make_geodesic_scorer(env) -> Callable:
         d = 0.0 if not np.isfinite(d) else d
         return np.full(v, -d, np.float64)
 
+    def score_dest(point) -> float:
+        d = env._dist_to_goal(np.asarray(point, np.float64))
+        return -d if np.isfinite(d) else -1e6
+
+    scorer.score_dest = score_dest
     return scorer
 
 
@@ -142,6 +152,7 @@ def ours_evaluate(
     gen = episode_generator(
         config, env, ep, house, epind, visualize, model_config, detector,
         planner, map_max_dim,
+        score_dest=getattr(scorer, "score_dest", None),
     )
     try:
         request = next(gen)
@@ -162,6 +173,7 @@ def episode_generator(
     detector=None,
     planner: Optional[DepthMapperAndPlanner] = None,
     map_max_dim: Optional[float] = None,
+    score_dest=None,
 ):
     """Episode as a coroutine: yields uint8 view batches to be scored,
     receives (V,) scores, returns SPL (STOP mode: the step log). All env
@@ -176,9 +188,14 @@ def episode_generator(
         return np.array([]) if config.STOP else 0
 
     if map_max_dim is None:
-        # reference sizes the map from the top-down map extent
-        # (evaluate.py:149-157); without a rasterizer use 2.2x goal dist
-        map_max_dim = max(10.0, float(goal_dist) * 2.2)
+        if hasattr(env, "topdown_extent"):
+            # reference sizes the map from the cropped top-down navigable
+            # extent (evaluate.py:149-157); envs with a navigability grid
+            # (MeshNavEnv) expose exactly that
+            map_max_dim = float(env.topdown_extent())
+        else:
+            # fallback heuristic for envs without a rasterized extent
+            map_max_dim = max(10.0, float(goal_dist) * 2.2)
 
     if planner is None:
         planner = DepthMapperAndPlanner(
@@ -216,6 +233,11 @@ def episode_generator(
             )
         return np.array(log, dtype=object) if config.STOP else spl
 
+    # score_dest (the directional geodesic oracle provides one): openlist
+    # entries then carry the oracle value of the candidate WAYPOINT rather
+    # than the view score. Model/detector scorers pass None and keep the
+    # reference semantics (evaluate.py:203, openlist.append((sc, dest))).
+
     def semantic_reasoning():
         planner.log_reasoning()
         views = []
@@ -243,7 +265,10 @@ def episode_generator(
                 ang = locs[k][2]
                 dest = check_movement(env, ang, planner, rng)
                 if dest is not None:
-                    openlist.append((float(scores[k]), dest))
+                    sc_k = float(scores[k])
+                    if score_dest is not None:
+                        sc_k = float(score_dest(dest))
+                    openlist.append((sc_k, dest))
         else:
             # reference-order fallback: observe, check, score per view
             for k, (ims, loc) in enumerate(zip(views, locs)):
@@ -259,7 +284,10 @@ def episode_generator(
                     )[0]
                 all_scores.append(float(sc))
                 if dest is not None:
-                    openlist.append((float(sc), dest))
+                    sc_k = float(sc)
+                    if score_dest is not None:
+                        sc_k = float(score_dest(dest))
+                    openlist.append((sc_k, dest))
 
         if visualize and config.SLAM and planner.log_visualization:
             # annotated panorama strip for the episode video

@@ -35,3 +35,39 @@ def make_env_and_episode(goal_cells=(6, 6), start_cells=(2, 2), size=32):
     house = FakeHouse(goal)
     ep = ("FakeHouse", 0, "toilet", gd, start, 0.0)
     return env, house, ep
+
+
+def make_mesh_env_and_episode(goal_cells=(6, 6), start_cells=(2, 2), size=224,
+                              mesh_path=None, panorama=False, seed=0):
+    """(env, house, episode) on the mesh backend: either a scene file
+    (PLY/OBJ via --mesh-scene) or the extruded default maze. The mesh
+    counterpart of make_env_and_episode — same episode contract
+    (/root/reference/evaluation/runner.py:86-96)."""
+    from video_dqn_tpu.sim.mesh_env import MeshNavEnv
+
+    if mesh_path is not None:
+        env = MeshNavEnv(mesh_path=mesh_path, image_size=size,
+                         panorama=panorama, seed=seed)
+        start, ang = env.sample_start_state(0)
+        env.set_agent_state(start, ang)
+        goal = env.sample_reachable_goal(0)
+    else:
+        from video_dqn_tpu.sim.fake_env import DEFAULT_MAZE
+        from video_dqn_tpu.sim.meshgen import maze_mesh
+
+        cell = 0.5
+        env = MeshNavEnv(mesh=maze_mesh(DEFAULT_MAZE, cell=cell),
+                         image_size=size, num_floors=1, panorama=panorama,
+                         seed=seed)
+        # cell centers: exact multiples land on wall corners in the mesh
+        goal = np.array([(goal_cells[0] + 0.5) * cell, 0.0,
+                         (goal_cells[1] + 0.5) * cell])
+        start = np.array([(start_cells[0] + 0.5) * cell, 0.0,
+                          (start_cells[1] + 0.5) * cell])
+        ang = 0.0
+        env.set_agent_state(start, ang)
+    env.goals = [np.asarray(goal, np.float64)]
+    gd = env.geodesic_distance(start, goal)
+    house = FakeHouse(goal)
+    ep = ("MeshHouse", 0, "toilet", gd, np.asarray(start, np.float64), ang)
+    return env, house, ep
