@@ -32,6 +32,8 @@ def main():
                         help="run against the mesh backend (extruded maze)")
     parser.add_argument("--mesh-scene", default=None,
                         help="PLY/OBJ scene file for the mesh backend")
+    parser.add_argument("--workload", default=None,
+                        help="run N generated episodes (product workload)")
     parser.add_argument("config", help="eval config yml")
     args = parser.parse_args()
 
@@ -49,7 +51,15 @@ def main():
         episodes = episodes[idx]
 
     kwargs = {}
-    if args.mesh_env or args.mesh_scene:
+    if args.workload:
+        # product workload: N generated episodes through the full harness
+        from video_dqn_tpu.eval.fixtures import make_episode_set
+
+        backend = "mesh" if (args.mesh_env or args.mesh_scene) else "fake"
+        episodes, env_factory, house_factory = make_episode_set(
+            int(args.workload), backend=backend, mesh_path=args.mesh_scene)
+        kwargs = {"env_factory": env_factory, "house_factory": house_factory}
+    elif args.mesh_env or args.mesh_scene:
         # mesh simulator backend (real-scene path; procedural maze without
         # a scene file)
         from video_dqn_tpu.eval.fixtures import make_mesh_env_and_episode

@@ -263,3 +263,80 @@ def test_download_backoff_and_resume(tmp_path):
     assert done == ["limited", "ok"]  # done1 skipped (resume)
     assert failed == ["broken"]
     assert sleeps == [10.0, 20.0]  # exponential backoff
+
+
+def test_extract_frames_cli_refuses_silent_passthrough(tmp_path, rng):
+    """Without filter weights the CLI must fail loudly instead of silently
+    marking every frame clean (VERDICT round 1, weak item 4; the reference
+    always filters, extract_frames.py:144-168)."""
+    import subprocess
+    import sys
+
+    frames = tmp_path / "frames" / "vid00000001"
+    frames.mkdir(parents=True)
+    from PIL import Image
+
+    for i in range(8):
+        Image.fromarray(
+            rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        ).save(frames / f"{i + 1:04d}.jpg")
+
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu")
+    base = [sys.executable, "dataset/extract_frames.py",
+            "--frames", str(tmp_path / "frames"), "--out", str(tmp_path / "out")]
+
+    r = subprocess.run(base, capture_output=True, text=True, env=env)
+    assert r.returncode != 0
+    assert "allow-passthrough" in r.stderr
+
+    # explicit opt-in runs (and still warns)
+    r = subprocess.run(base + ["--allow-passthrough"], capture_output=True,
+                       text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    assert "WARNING" in r.stdout
+    assert (tmp_path / "out" / "vid00000001_filters.npy").exists()
+
+    # stub person detector + passthrough indoor: the person path is wired
+    r = subprocess.run(
+        base + ["--stub-detector", "--allow-passthrough"],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr
+
+
+def test_native_decode_matches_cv2_engine(tmp_path):
+    """libavcodec stage vs the cv2 oracle: same sampled frame count, same
+    content (both decode the same codec output; JPEG re-encode tolerance)."""
+    from video_dqn_tpu.data import native_decode
+    from video_dqn_tpu.data.video import extract_frames, write_synthetic_video
+
+    if not native_decode.available():
+        pytest.skip("libvdecode unavailable")
+    vp = write_synthetic_video(str(tmp_path / "v.mp4"), num_frames=120,
+                               size=128, fps=24)
+    n_native = extract_frames(vp, str(tmp_path / "fn"), fps=0.5,
+                              engine="native")
+    n_cv2 = extract_frames(vp, str(tmp_path / "fc"), fps=0.5, engine="cv2")
+    assert n_native == n_cv2 == 3
+
+    from PIL import Image
+
+    for i in range(1, n_native + 1):
+        a = np.asarray(Image.open(tmp_path / "fn" / f"{i:04d}.jpg"), np.float64)
+        b = np.asarray(Image.open(tmp_path / "fc" / f"{i:04d}.jpg"), np.float64)
+        assert np.abs(a - b).mean() < 8.0, f"frame {i} diverges"
+
+
+def test_native_decode_fused_resize_and_errors(tmp_path):
+    from video_dqn_tpu.data import native_decode
+    from video_dqn_tpu.data.video import write_synthetic_video
+
+    if not native_decode.available():
+        pytest.skip("libvdecode unavailable")
+    vp = write_synthetic_video(str(tmp_path / "v.mp4"), num_frames=48,
+                               size=96, fps=24)
+    frames = list(native_decode.decode_frames(vp, fps=0, target=(64, 48)))
+    assert len(frames) == 48
+    assert frames[0].shape == (48, 64, 3)
+    with pytest.raises(IOError):
+        next(native_decode.decode_frames(str(tmp_path / "missing.mp4")))

@@ -82,3 +82,49 @@ def test_prefetch_producer_unblocks_on_early_stop():
         n_after_close = len(produced)
     # producer stopped long before exhausting the 100-item stream
     assert len(produced) < 100
+
+
+def test_parallel_decode_workers_deterministic(tmp_path):
+    """Worker-pool batches must match the same-seed index stream decoded
+    in one process (re-ordering to submission sequence makes the stream
+    deterministic regardless of worker scheduling)."""
+    from video_dqn_tpu.data.qlearning import QLearningBatcher
+    from video_dqn_tpu.data.synthetic import make_synthetic_dataset
+    from video_dqn_tpu.data.workers import parallel_batches
+
+    feather = make_synthetic_dataset(str(tmp_path / "ds"), num_videos=2,
+                                     frames_per_video=16, image_size=32)
+    kwargs = dict(location=feather, one_action=True, inverse_actions=True,
+                  image_size=32, seed=5)
+
+    stream = parallel_batches(kwargs, batch_size=4, num_workers=2, seed=7,
+                              n_samples=6)
+    got = list(stream)
+    assert len(got) == 6
+
+    ref_batcher = QLearningBatcher(**kwargs)
+    rng = np.random.default_rng(7)
+    for batch in got:
+        idx = rng.integers(0, len(ref_batcher), 4)
+        expect = ref_batcher.get_batch(indices=idx)
+        np.testing.assert_array_equal(batch["before"], expect["before"])
+        np.testing.assert_array_equal(batch["action"], expect["action"])
+
+
+def test_parallel_decode_workers_propagate_errors(tmp_path):
+    from video_dqn_tpu.data.synthetic import make_synthetic_dataset
+    from video_dqn_tpu.data.workers import parallel_batches
+
+    feather = make_synthetic_dataset(str(tmp_path / "ds"), num_videos=1,
+                                     frames_per_video=10, image_size=32)
+    kwargs = dict(location=feather, one_action=True, inverse_actions=True,
+                  image_size=32)
+    # break an image file so a worker raises mid-stream
+    import glob
+    import os
+
+    victim = sorted(glob.glob(str(tmp_path / "ds" / "frames" / "*" / "*.jpg")))[0]
+    os.remove(victim)
+    with pytest.raises(Exception):
+        list(parallel_batches(kwargs, batch_size=8, num_workers=1,
+                              n_samples=20))

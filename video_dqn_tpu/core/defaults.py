@@ -70,6 +70,10 @@ def get_cfg_defaults() -> ConfigNode:
                     "MESH_MODEL": 1,
                     "REMAT": False,              # jax.checkpoint the backbone
                     "PREFETCH_DEPTH": 2,         # host->HBM double buffering
+                    # JPEG-decode worker processes feeding the infeed
+                    # (0 = decode in-process; reference used 8 DataLoader
+                    # workers, train_q_network.py:98)
+                    "DECODE_WORKERS": 0,
                 }
             ),
         }

@@ -1,0 +1,88 @@
+"""ctypes bindings for the native libavcodec decode stage (native/decode).
+
+The C++ half of the video->frames boundary the reference crossed with an
+ffmpeg subprocess (/root/reference/dataset/extract_frames.py:120-122):
+in-process demux + decode + swscale resize, frames sampled at a fixed
+rate, handed over as RGB numpy arrays with zero JPEG round trips.
+Auto-builds libvdecode.so on first use; the cv2 path in data/video.py is
+the fallback/oracle (repo-standard native pattern)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "native", "decode")
+)
+_LIB = os.path.join(_DIR, "libvdecode.so")
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not os.path.exists(_LIB):
+            subprocess.run(["make", "-s"], cwd=_DIR, check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(_LIB)
+        lib.decoder_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_double, ctypes.c_int, ctypes.c_int
+        ]
+        lib.decoder_open.restype = ctypes.c_void_p
+        lib.decoder_info.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.decoder_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)
+        ]
+        lib.decoder_next.restype = ctypes.c_int
+        lib.decoder_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_frames(
+    path: str,
+    fps: float = 0.5,
+    target: Optional[Tuple[int, int]] = None,
+) -> Iterator[np.ndarray]:
+    """Yield RGB uint8 (H, W, 3) frames sampled at `fps` (0 = every frame).
+    `target`: optional (width, height) swscale resize fused into decode."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libvdecode unavailable")
+    tw, th = target if target is not None else (0, 0)
+    h = lib.decoder_open(path.encode(), float(fps), int(tw), int(th))
+    if not h:
+        raise IOError(f"cannot open {path}")
+    try:
+        w = ctypes.c_int()
+        hh = ctypes.c_int()
+        dur = ctypes.c_double()
+        lib.decoder_info(h, ctypes.byref(w), ctypes.byref(hh), ctypes.byref(dur))
+        buf = np.empty((hh.value, w.value, 3), np.uint8)
+        while True:
+            r = lib.decoder_next(h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            if r == 0:
+                return
+            if r < 0:
+                raise IOError(f"decode error {r} in {path}")
+            yield buf.copy()
+    finally:
+        lib.decoder_close(h)

@@ -2,10 +2,13 @@
 
 Capability parity with the reference's ffmpeg-subprocess dump
 (/root/reference/dataset/extract_frames.py:112-141: `fps=0.5` ->
-frames/<vid>/%04d.jpg, skip-existing resume). This image has no ffmpeg
-binary, so decode goes through OpenCV's VideoCapture (FFmpeg backend
-built into cv2); the sampling grid matches ffmpeg's fps filter (one frame
-per 1/fps-second interval, first at t=1/(2*fps)).
+frames/<vid>/%04d.jpg, skip-existing resume). Two engines:
+
+  * native: the in-process libavcodec stage (native/decode/decode.cc via
+    data/native_decode.py) — demux + decode + swscale with frames sampled
+    at the fps grid, no subprocess, no intermediate JPEG. Production path.
+  * cv2: OpenCV VideoCapture loop — fallback and test oracle; its sampling
+    grid matches ffmpeg's fps filter (one frame per 1/fps-second interval).
 """
 
 from __future__ import annotations
@@ -17,12 +20,28 @@ from typing import List, Optional
 import numpy as np
 
 
-def extract_frames(video_path: str, dest: str, fps: float = 0.5) -> int:
+def extract_frames(video_path: str, dest: str, fps: float = 0.5,
+                   engine: Optional[str] = None) -> int:
     """Decode `video_path`, writing dest/%04d.jpg at `fps`. Returns the
     number of frames written."""
     import cv2
 
     os.makedirs(dest, exist_ok=True)
+
+    if engine in (None, "native"):
+        from . import native_decode
+
+        if native_decode.available():
+            written = 0
+            for frame in native_decode.decode_frames(video_path, fps=fps):
+                written += 1
+                cv2.imwrite(
+                    os.path.join(dest, f"{written:04d}.jpg"),
+                    frame[:, :, ::-1],  # RGB -> BGR for imwrite
+                )
+            return written
+        if engine == "native":
+            raise RuntimeError("libvdecode unavailable")
     cap = cv2.VideoCapture(video_path)
     if not cap.isOpened():
         raise IOError(f"cannot open {video_path}")

@@ -1,0 +1,125 @@
+"""Multi-process JPEG-decode workers feeding the training infeed.
+
+The reference hides decode latency behind 8 forked torch DataLoader
+workers (/root/reference/train_q_network.py:98); this is the equivalent
+stage for the TPU trainer: N processes each own a QLearningBatcher (the
+feather columns re-load per process; images decode with PIL), pull index
+blocks from a shared queue, and push finished uint8 batches to the parent,
+which hands them to core/prefetch.prefetch_to_device for the host->HBM
+double buffer. Decode throughput scales ~linearly with worker count up to
+the host's core count (this container has 1 core — production TPU-VM
+hosts have ~100+).
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import queue as queue_mod
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+_WORKER_BATCHER = None
+
+
+def _worker_init(batcher_kwargs: Dict):
+    global _WORKER_BATCHER
+    from video_dqn_tpu.data.qlearning import QLearningBatcher
+
+    _WORKER_BATCHER = QLearningBatcher(**batcher_kwargs)
+
+
+def _worker_loop(batcher_kwargs, index_q, out_q, stop):
+    _worker_init(batcher_kwargs)
+    while not stop.is_set():
+        try:
+            item = index_q.get(timeout=0.2)
+        except queue_mod.Empty:
+            continue
+        if item is None:
+            return
+        seq, indices = item
+        try:
+            batch = _WORKER_BATCHER.get_batch(indices=np.asarray(indices))
+            out_q.put((seq, batch))
+        except Exception as e:  # surface in parent
+            out_q.put((seq, e))
+            return
+
+
+def parallel_batches(
+    batcher_kwargs: Dict,
+    batch_size: int,
+    num_workers: int = 2,
+    seed: int = 0,
+    queue_depth: int = 4,
+    n_samples: Optional[int] = None,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Infinite (or n_samples-bounded) shuffled batch stream decoded by
+    `num_workers` processes. Batches are re-ordered to the submission
+    sequence so the stream is deterministic for a given seed regardless of
+    worker scheduling."""
+    from video_dqn_tpu.data.qlearning import QLearningBatcher
+
+    # index stream comes from the parent (one RNG, deterministic)
+    probe = QLearningBatcher(**batcher_kwargs)
+    n = len(probe)
+    del probe
+    rng = np.random.default_rng(seed)
+
+    ctx = mp.get_context("fork")
+    index_q = ctx.Queue(maxsize=queue_depth * max(1, num_workers))
+    out_q = ctx.Queue(maxsize=queue_depth * max(1, num_workers))
+    stop = ctx.Event()
+    procs = [
+        ctx.Process(target=_worker_loop,
+                    args=(batcher_kwargs, index_q, out_q, stop), daemon=True)
+        for _ in range(num_workers)
+    ]
+    for p in procs:
+        p.start()
+
+    pending: Dict[int, object] = {}
+    submitted = 0
+    emitted = 0
+    try:
+        while n_samples is None or emitted < n_samples:
+            # keep the index queue primed
+            while (submitted - emitted) < queue_depth * num_workers:
+                idx = rng.integers(0, n, batch_size)
+                try:
+                    index_q.put((submitted, idx.tolist()), timeout=0.2)
+                    submitted += 1
+                except queue_mod.Full:
+                    break
+            # drain results, emit in order
+            try:
+                seq, result = out_q.get(timeout=10.0)
+            except queue_mod.Empty:
+                if not any(p.is_alive() for p in procs):
+                    raise RuntimeError("all decode workers died")
+                continue
+            if isinstance(result, Exception):
+                raise result
+            pending[seq] = result
+            while emitted in pending:
+                yield pending.pop(emitted)
+                emitted += 1
+    finally:
+        stop.set()
+        for _ in procs:
+            try:
+                index_q.put_nowait(None)
+            except queue_mod.Full:
+                pass
+        # drain queues so children aren't blocked on put
+        for q in (out_q, index_q):
+            try:
+                while True:
+                    q.get_nowait()
+            except queue_mod.Empty:
+                pass
+        for p in procs:
+            p.join(timeout=2.0)
+            if p.is_alive():
+                p.terminate()

@@ -37,6 +37,51 @@ def make_env_and_episode(goal_cells=(6, 6), start_cells=(2, 2), size=32):
     return env, house, ep
 
 
+def make_episode_set(n: int, size: int = 48, seed: int = 0,
+                     backend: str = "fake", mesh_path=None, panorama=False):
+    """Generate an n-episode product workload on one shared backend env:
+    random navigable starts and reachable goals, one FakeHouse per episode
+    (distinct house names so the runner's house-switch logic exercises its
+    real path). Returns (episodes ndarray, env_factory, house_factory) —
+    plug-compatible with run_policy, mirroring the val_episodes.npy
+    contract (house, floor, class, geodesic_dist, pos, rot;
+    /root/reference/evaluation/runner.py:40-43,86-96)."""
+    rng = np.random.default_rng(seed)
+    if backend == "mesh":
+        from video_dqn_tpu.sim.fake_env import DEFAULT_MAZE
+        from video_dqn_tpu.sim.mesh_env import MeshNavEnv
+        from video_dqn_tpu.sim.meshgen import maze_mesh
+
+        if mesh_path is not None:
+            env = MeshNavEnv(mesh_path=mesh_path, image_size=size,
+                             panorama=panorama, seed=seed)
+        else:
+            env = MeshNavEnv(mesh=maze_mesh(DEFAULT_MAZE), image_size=size,
+                             num_floors=1, panorama=panorama, seed=seed)
+    else:
+        env = FakeNavEnv(image_size=size, panorama=panorama, seed=seed)
+
+    episodes = []
+    houses = {}
+    for i in range(n):
+        start, ang = env.sample_start_state(0)
+        env.set_agent_state(start, ang)
+        goal = env.sample_reachable_goal(0)
+        gd = env.geodesic_distance(start, goal)
+        cls = CLASS_LABELS[int(rng.integers(0, len(CLASS_LABELS)))]
+        hn = f"House{i:04d}"
+        houses[hn] = FakeHouse(goal)
+        episodes.append((hn, 0, cls, gd, start, ang))
+
+    def env_factory(house, model_config, config):
+        return env
+
+    def house_factory(name):
+        return houses[name]
+
+    return np.array(episodes, dtype=object), env_factory, house_factory
+
+
 def make_mesh_env_and_episode(goal_cells=(6, 6), start_cells=(2, 2), size=224,
                               mesh_path=None, panorama=False, seed=0):
     """(env, house, episode) on the mesh backend: either a scene file

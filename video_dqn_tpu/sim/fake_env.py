@@ -162,6 +162,9 @@ class FakeNavEnv:
         b = np.asarray(b, np.float64)
         za, xa = self._cell_of(a[0], a[2])
         zb, xb = self._cell_of(b[0], b[2])
+        gh, gw = self.grid.shape
+        if not (0 <= za < gh and 0 <= xa < gw and 0 <= zb < gh and 0 <= xb < gw):
+            return float("inf")  # off-map query (e.g. a goal-corner offset)
         if self.grid[za, xa] or self.grid[zb, xb]:
             return float("inf")
         d = fmm_distance(self._free, [(zb, xb)])

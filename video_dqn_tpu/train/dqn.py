@@ -308,9 +308,10 @@ def run_train(
     from video_dqn_tpu.data.qlearning import QLearningBatcher
 
     np.random.seed(config.SEED)
+    batch_stream = None
     if batcher is None:
-        batcher = QLearningBatcher(
-            config.DATASET,
+        batcher_kwargs = dict(
+            location=config.DATASET,
             one_action=True,
             confidence_reward=config.CONFIDENCE_REWARD,
             value_learning=config.VALUE_LEARNING,
@@ -318,8 +319,18 @@ def run_train(
             previous_images=config.PREVIOUS_IMAGES,
             seed=config.SEED,
         )
+        batcher = QLearningBatcher(**batcher_kwargs)
         print(f"Load data from {config.DATASET}")
         print(f"Reward Ratio: {batcher.reward_percentage()}")
+        n_workers = int(getattr(config.TPU, "DECODE_WORKERS", 0))
+        if n_workers > 0:
+            from video_dqn_tpu.data.workers import parallel_batches
+
+            batch_stream = parallel_batches(
+                batcher_kwargs, int(config.TPU.BATCH_SIZE),
+                num_workers=n_workers, seed=config.SEED,
+            )
+            print(f"Decode workers: {n_workers}")
 
     if mesh is None:
         mesh = make_mesh(config.TPU.MESH_DATA, config.TPU.MESH_MODEL)
@@ -346,7 +357,7 @@ def run_train(
     num_steps = int(max_steps if max_steps is not None else config.NUM_STEPS)
     running_loss = None
     batches = prefetch_to_device(
-        batcher.batches(batch_size),
+        batch_stream if batch_stream is not None else batcher.batches(batch_size),
         sharding=batch_sharding(mesh),
         depth=int(config.TPU.PREFETCH_DEPTH),
     )
