@@ -137,3 +137,29 @@ def test_batched_matches_sequential_reasoning_candidates():
         spl = ours_evaluate(cfg, env, ep, house, 0, make_geodesic_scorer(env),
                             planner=small_planner(env))
         assert spl >= 0
+
+
+def test_infinite_fmm_waypoint_skipped():
+    """A selected waypoint whose FMM distance is inf (cell disconnected in
+    the current map) must be skipped, not crash the step-budget ceil
+    (OverflowError observed on long product workloads)."""
+    env, house, ep = make_env_and_episode()
+
+    class InfFirstPlanner(DepthMapperAndPlanner):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self._inf_budget = 3
+
+        def fmm_distance_m(self, point):
+            if self._inf_budget > 0:
+                self._inf_budget -= 1
+                return float("inf")
+            return super().fmm_distance_m(point)
+
+    planner = InfFirstPlanner(dt=30, map_size_cm=2500, mark_locs=True,
+                              close_small_openings=True)
+    cfg = eval_cfg(SLAM=True, SEED=1)
+    scorer = make_geodesic_scorer(env)
+    spl = ours_evaluate(cfg, env, ep, house, 0, scorer, visualize=False,
+                        planner=planner)
+    assert 0.0 <= spl <= 1.0  # completed without OverflowError

@@ -121,3 +121,25 @@ def test_preprocess_upscales_small_images(rng):
     raw = rng.integers(0, 256, (1, 100, 150, 3), np.uint8)
     got = imagenet_preprocess(jnp.asarray(raw), 224)
     assert got.shape == (1, 224, 224, 3)
+
+
+def test_numpy_morphology_matches_jax(rng):
+    """Host-path numpy twins vs the jitted originals (the planner's hot
+    loop uses the numpy versions; the JAX versions remain the oracle)."""
+    from video_dqn_tpu.ops.morphology import (
+        binary_dilation_disk1,
+        binary_dilation_disk1_np,
+        binary_erosion_disk1,
+        binary_erosion_disk1_np,
+        open_n,
+        open_n_np,
+    )
+
+    m = rng.random((64, 57)) > 0.6
+    np.testing.assert_array_equal(
+        binary_dilation_disk1_np(m), np.asarray(binary_dilation_disk1(m)))
+    np.testing.assert_array_equal(
+        binary_erosion_disk1_np(m), np.asarray(binary_erosion_disk1(m)))
+    for n in (1, 2, 3):
+        np.testing.assert_array_equal(
+            open_n_np(m, n), np.asarray(open_n(m, n)))

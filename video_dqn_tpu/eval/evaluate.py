@@ -332,7 +332,10 @@ def episode_generator(
         sc, next_pos = openlist.pop(ind)
 
         dist_est = planner.fmm_distance_m(next_pos)
-        while not planner.action_toward(next_pos):
+        # skip waypoints the planner cannot act toward OR whose FMM
+        # distance is infinite (cell disconnected in the current map —
+        # the step budget below would overflow on inf)
+        while not np.isfinite(dist_est) or not planner.action_toward(next_pos):
             if not openlist:
                 return output()
             ind = int(np.argmax([selection_score(e) for e in openlist]))

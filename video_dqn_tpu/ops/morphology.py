@@ -61,3 +61,45 @@ def open_n(mask: jax.Array, n: int) -> jax.Array:
     for _ in range(n):
         m = binary_dilation_disk1(m)
     return m
+
+
+# ---- numpy twins (host path) -------------------------------------------
+# The eval planner runs these on 1.4M-cell grids every agent step; going
+# through the JAX device layer cost ~90 ms per call in dispatch + copies
+# (the dominant term of a worst-case eval episode). The shift arithmetic
+# is identical to the jitted versions above, which remain the oracle.
+
+import numpy as np
+
+
+def binary_dilation_disk1_np(mask: np.ndarray) -> np.ndarray:
+    m = np.asarray(mask, bool)
+    out = m.copy()
+    out[1:, :] |= m[:-1, :]
+    out[:-1, :] |= m[1:, :]
+    out[:, 1:] |= m[:, :-1]
+    out[:, :-1] |= m[:, 1:]
+    return out
+
+
+def binary_erosion_disk1_np(mask: np.ndarray) -> np.ndarray:
+    m = np.asarray(mask, bool)
+    out = m.copy()
+    out[1:, :] &= m[:-1, :]
+    out[0, :] = False
+    out[:-1, :] &= m[1:, :]
+    out[-1, :] = False
+    out[:, 1:] &= m[:, :-1]
+    out[:, 0] = False
+    out[:, :-1] &= m[:, 1:]
+    out[:, -1] = False
+    return out
+
+
+def open_n_np(mask: np.ndarray, n: int) -> np.ndarray:
+    m = np.asarray(mask, bool)
+    for _ in range(n):
+        m = binary_erosion_disk1_np(m)
+    for _ in range(n):
+        m = binary_dilation_disk1_np(m)
+    return m

@@ -35,7 +35,7 @@ import numpy as np
 from video_dqn_tpu.ops.binning import observations_to_map_delta
 from video_dqn_tpu.ops.fmm import fmm_distance
 from video_dqn_tpu.ops.geometry import get_camera_matrix
-from video_dqn_tpu.ops.morphology import binary_dilation_disk1, open_n
+from video_dqn_tpu.ops.morphology import binary_dilation_disk1_np, open_n_np
 
 ACT_FORWARD, ACT_LEFT, ACT_RIGHT, ACT_STOP = 0, 1, 2, 3
 
@@ -202,10 +202,28 @@ class DepthMapperAndPlanner:
         obstacle = self.map[:, :, 1] >= self.point_cnt
         if self.mark_locs:
             obstacle[loc[0], loc[1]] = False
-        traversible = ~np.asarray(binary_dilation_disk1(jnp.asarray(obstacle)))
+        # numpy twin: the JAX round trip cost ~90 ms/call on this grid
+        traversible = ~binary_dilation_disk1_np(obstacle)
         traversible[loc[0], loc[1]] = True
         self._trav_cache = (key, traversible)
+        self._opened_cache = {}
         return traversible
+
+    def _opened(self, traversible: np.ndarray, n: int) -> np.ndarray:
+        """open_n(traversible, n), cached per traversibility grid — the
+        nav loop recomputes fmm_map every step but n and the grid repeat."""
+        if n <= 0:
+            return traversible
+        cached = getattr(self, "_opened_cache", None)
+        if cached is None:
+            self._opened_cache = cached = {}
+        out = cached.get(n)
+        if out is None or cached.get("_src") is not traversible:
+            cached.clear()
+            cached["_src"] = traversible
+            out = open_n_np(traversible, n)
+            cached[n] = out
+        return out
 
     # Wavefront bound for FMM solves, in cells (= 3.3 m at 5 cm/cell).
     # Every consumer reads cells within this band of the agent: the action
@@ -245,11 +263,7 @@ class DepthMapperAndPlanner:
             n = self.num_erosions
             dists = None
             while n >= 0:
-                opened = (
-                    np.asarray(open_n(jnp.asarray(traversible), n))
-                    if n > 0
-                    else traversible
-                )
+                opened = self._opened(traversible, n)
                 dists = self._distances(opened, map_loc)
                 cur = self.loc_to_map(self.current_loc)
                 if np.isfinite(dists[cur[0], cur[1]]):
