@@ -89,3 +89,40 @@ def test_batched_writes_results(tmp_path):
 
     mean = display_results(cfg, quiet=True)
     assert mean is not None
+
+
+def test_mesh_sharded_scorer_matches_unsharded(mesh8):
+    """Cross-chip eval scoring: the mesh-sharded multiclass scorer must
+    produce identical scores to the single-device path, including ragged
+    batches that need padding to the device count."""
+    model, params, stats = make_model()
+    plain = make_multiclass_scorer(model, params, stats, image_size=SIZE)
+    sharded = make_multiclass_scorer(model, params, stats, image_size=SIZE,
+                                     mesh=mesh8)
+    rng = np.random.default_rng(0)
+    for b in (3, 8, 13):  # ragged + aligned batch sizes
+        imgs = rng.integers(0, 255, (b, 1, SIZE, SIZE, 3), np.uint8)
+        cls = rng.integers(0, 5, b)
+        np.testing.assert_allclose(
+            sharded(imgs, cls), plain(imgs, cls), rtol=2e-5, atol=2e-5)
+
+
+def test_run_policy_batched_with_mesh(tmp_path, mesh8):
+    """End-to-end batched episodes with the mesh-sharded scorer."""
+    model, params, stats = make_model()
+    scorer = make_multiclass_scorer(model, params, stats, image_size=SIZE,
+                                    mesh=mesh8)
+    episodes, houses = build_fixtures()
+    cfg = eval_cfg(SLAM=True, SEED=1, SCORE="model",
+                   RESULT_LOCATION=str(tmp_path / "results"))
+    results = run_policy_batched(
+        cfg, episodes,
+        env_factory=fresh_env,
+        house_factory=lambda n: houses[n],
+        scorer=scorer,
+        class_index_of=True,
+        max_concurrent=2,
+    )
+    assert len(results) == 2
+    for v in results.values():
+        assert 0.0 <= float(v) <= 1.0

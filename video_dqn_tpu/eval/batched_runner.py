@@ -113,15 +113,33 @@ def run_policy_batched(
     return results
 
 
-def make_multiclass_scorer(model, params, batch_stats, image_size: int = 224):
+def make_multiclass_scorer(model, params, batch_stats, image_size: int = 224,
+                           mesh=None):
     """Scorer for the batched runner: (B, F, H, W, 3) uint8 + (B,) class
     indices -> (B,) max-over-actions Q of each view's own class, one
-    forward for everything."""
+    forward for everything.
+
+    With `mesh`, the view batch is sharded over the mesh's 'data' axis and
+    params are replicated, so concurrent episodes' scoring runs
+    data-parallel across chips (SURVEY section 2 "multi-device inference"
+    stretch goal — the reference scores one view at a time on one GPU,
+    evaluate.py:110-114). Ragged batches are padded to the device count."""
     import jax
     import jax.numpy as jnp
 
     from video_dqn_tpu.ops.image import normalize_imagenet
     from video_dqn_tpu.ops.pallas_image import fused_preprocess
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharding = NamedSharding(mesh, P("data"))
+        replicated = NamedSharding(mesh, P())
+        params = jax.device_put(params, replicated)
+        batch_stats = jax.device_put(batch_stats, replicated)
+        n_shard = int(np.prod([mesh.shape[a] for a in ("data",)]))
+    else:
+        n_shard = 1
 
     @jax.jit
     def run(images, cls):
@@ -140,6 +158,16 @@ def make_multiclass_scorer(model, params, batch_stats, image_size: int = 224):
         x = np.asarray(images)
         if x.ndim == 4:
             x = x[:, None]
-        return np.asarray(run(x, np.asarray(cls, np.int32)))
+        c = np.asarray(cls, np.int32)
+        b = x.shape[0]
+        pad = (-b) % n_shard
+        if pad:
+            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+            c = np.concatenate([c, np.repeat(c[-1:], pad, axis=0)])
+        if mesh is not None:
+            x = jax.device_put(x, batch_sharding)
+            c = jax.device_put(c, batch_sharding)
+        out = np.asarray(run(x, c))
+        return out[:b]
 
     return scorer
