@@ -248,3 +248,66 @@ def test_eval_episode_from_ply_file(tmp_path):
     obs = env.get_observation()
     assert obs["rgb"].shape == (24, 24, 3)
     assert np.isfinite(ep[3])
+
+
+def test_glb_roundtrip(tmp_path):
+    """write_glb -> read_glb preserves geometry + colors; load_mesh
+    dispatches on the .glb extension (the format Gibson scenes ship in)."""
+    from video_dqn_tpu.sim.ply import load_mesh, read_glb, write_glb
+
+    v, f, c = maze_mesh(SMALL_MAZE)
+    p = str(tmp_path / "scene.glb")
+    write_glb(p, v, f, colors=c)
+    v2, f2, c2 = read_glb(p)
+    np.testing.assert_allclose(v2, v, rtol=1e-6)
+    np.testing.assert_array_equal(f2.reshape(-1), f.reshape(-1))
+    np.testing.assert_array_equal(c2, c)
+    v3, _, _ = load_mesh(p)
+    assert v3.shape == v.shape
+
+
+def test_glb_node_transform(tmp_path):
+    """Node TRS transforms apply to primitive positions."""
+    import json
+    import struct as st
+
+    from video_dqn_tpu.sim.ply import read_glb, write_glb
+
+    v, f, c = maze_mesh(SMALL_MAZE)
+    p = str(tmp_path / "t.glb")
+    write_glb(p, v, f)
+    # inject a translation on the node
+    with open(p, "rb") as fh:
+        data = fh.read()
+    jlen, = st.unpack_from("<I", data, 12)
+    doc = json.loads(data[20:20 + jlen])
+    doc["nodes"][0]["translation"] = [1.0, 2.0, 3.0]
+    js = json.dumps(doc).encode()
+    js += b" " * ((-len(js)) % 4)
+    rest = data[20 + jlen:]
+    total = 12 + 8 + len(js) + len(rest)
+    with open(p, "wb") as fh:
+        fh.write(st.pack("<4sII", b"glTF", 2, total))
+        fh.write(st.pack("<I4s", len(js), b"JSON"))
+        fh.write(js)
+        fh.write(rest)
+    v2, _, _ = read_glb(p)
+    np.testing.assert_allclose(v2, v + np.array([1, 2, 3], np.float32),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gibson_get_env_mesh_backend(tmp_path, monkeypatch):
+    """GibsonHouse.get_env finds <name>.glb under GIBSON_LOCATION and
+    opens the mesh backend with the house's floor count."""
+    from video_dqn_tpu.sim.gibson import GibsonHouse
+    from video_dqn_tpu.sim.ply import write_glb
+
+    v, f, c = maze_mesh(SMALL_MAZE)
+    write_glb(str(tmp_path / "TestHouse.glb"), v, f, colors=c)
+    monkeypatch.setenv("GIBSON_LOCATION", str(tmp_path))
+    house = GibsonHouse.__new__(GibsonHouse)
+    house.name = "TestHouse"
+    env = GibsonHouse.get_env(house, num_floors=1, image_size=24)
+    obs = env.get_observation()
+    assert obs["rgb"].shape == (24, 24, 3)
+    assert len(env.floor_heights) == 1

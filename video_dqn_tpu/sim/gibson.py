@@ -162,16 +162,32 @@ class GibsonHouse:
 
     def get_env(self, env_factory: Optional[Callable] = None, **kwargs):
         """Build the navigation env for this house. env_factory receives
-        (scene_path, **kwargs); default expects GIBSON_LOCATION like the
-        reference (gibson_info.py:294-296)."""
-        if env_factory is None:
-            raise RuntimeError(
-                "no env_factory given and no habitat backend bundled; pass "
-                "env_factory=lambda scene, **kw: FakeNavEnv(**kw) or a real "
-                "renderer factory"
+        (scene_path, **kwargs); the default looks for the house's mesh
+        under GIBSON_LOCATION (.glb/.ply/.obj, like the reference's
+        habitat path, gibson_info.py:294-296) and opens it with the
+        native mesh backend, passing the house's floor count."""
+        root = os.environ.get("GIBSON_LOCATION", "")
+        scene = None
+        for ext in (".glb", ".ply", ".obj"):
+            cand = os.path.join(root, f"{self.name}{ext}")
+            if os.path.exists(cand):
+                scene = cand
+                break
+        if env_factory is not None:
+            return env_factory(
+                scene or os.path.join(root, f"{self.name}.glb"), **kwargs
             )
-        scene = os.path.join(os.environ.get("GIBSON_LOCATION", ""), f"{self.name}.glb")
-        return env_factory(scene, **kwargs)
+        if scene is None:
+            raise RuntimeError(
+                f"no scene mesh for {self.name} under GIBSON_LOCATION="
+                f"{root!r} (.glb/.ply/.obj) and no env_factory given; the "
+                "licensed Gibson download provides the meshes"
+            )
+        from video_dqn_tpu.sim.mesh_env import MeshNavEnv
+
+        if "num_floors" not in kwargs:
+            kwargs["num_floors"] = self.num_floors
+        return MeshNavEnv(mesh_path=scene, **kwargs)
 
 
 def _load_metadata(gibson_location: Optional[str] = None) -> List[Dict]:

@@ -195,9 +195,186 @@ def read_obj(path: str) -> Tuple[np.ndarray, np.ndarray, None]:
     return (np.asarray(verts, np.float32), np.asarray(faces, np.int32), None)
 
 
+def _glb_chunks(data: bytes):
+    magic, version, _length = struct.unpack_from("<4sII", data, 0)
+    assert magic == b"glTF", "not a GLB file"
+    assert version == 2, f"unsupported glTF version {version}"
+    off = 12
+    chunks = {}
+    while off + 8 <= len(data):
+        clen, ctype = struct.unpack_from("<I4s", data, off)
+        chunks[ctype.rstrip(b"\x00")] = data[off + 8:off + 8 + clen]
+        off += 8 + clen + ((-clen) % 4 if ctype == b"JSON" else 0)
+        # binary chunks are already 4-aligned by spec; JSON is space-padded
+    return chunks
+
+
+_GLTF_DTYPES = {
+    5120: np.int8, 5121: np.uint8, 5122: np.int16,
+    5123: np.uint16, 5125: np.uint32, 5126: np.float32,
+}
+_GLTF_SIZES = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4}
+
+
+def read_glb(path: str) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Minimal binary-glTF 2.0 reader: walks every scene node (matrix or
+    TRS transforms applied), gathers triangle primitives' POSITION +
+    indices (+ COLOR_0 when present). Textures/materials are ignored —
+    the raycaster consumes bare geometry. This is the format Gibson
+    scenes ship in (the reference loads them through habitat-sim's C++
+    GLB loader, habitat_test_env.py:46-60)."""
+    import json as json_mod
+
+    with open(path, "rb") as f:
+        data = f.read()
+    chunks = _glb_chunks(data)
+    doc = json_mod.loads(chunks[b"JSON"])
+    bin_chunk = chunks.get(b"BIN", b"")
+
+    def accessor(idx):
+        acc = doc["accessors"][idx]
+        view = doc["bufferViews"][acc["bufferView"]]
+        dtype = _GLTF_DTYPES[acc["componentType"]]
+        ncomp = _GLTF_SIZES[acc["type"]]
+        start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        elem = dtype().itemsize * ncomp
+        stride = view.get("byteStride") or elem
+        count = acc["count"]
+        if stride == elem:  # tightly packed
+            flat = np.frombuffer(bin_chunk, dtype, count * ncomp, start)
+            return flat.reshape(count, ncomp)
+        # interleaved: gather each element's bytes (last element may not
+        # extend a full stride, so slice exactly to its end)
+        raw = np.frombuffer(
+            bin_chunk[start:start + stride * (count - 1) + elem], np.uint8
+        )
+        gather = np.arange(count)[:, None] * stride + np.arange(elem)[None, :]
+        return raw[gather].copy().view(dtype).reshape(count, ncomp)
+
+    def node_matrix(node):
+        if "matrix" in node:
+            return np.array(node["matrix"], np.float64).reshape(4, 4).T
+        m = np.eye(4)
+        if "scale" in node:
+            m[:3, :3] *= np.array(node["scale"])[None, :]
+        if "rotation" in node:  # xyzw quaternion
+            x, y, z, w = node["rotation"]
+            r = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+            ])
+            m[:3, :3] = r @ m[:3, :3]
+        if "translation" in node:
+            m[:3, 3] = node["translation"]
+        return m
+
+    verts_all, faces_all, colors_all = [], [], []
+    have_color = True
+    scene = doc.get("scenes", [{}])[doc.get("scene", 0)]
+    stack = [(n, np.eye(4)) for n in scene.get("nodes", [])]
+    while stack:
+        ni, parent = stack.pop()
+        node = doc["nodes"][ni]
+        m = parent @ node_matrix(node)
+        for child in node.get("children", []):
+            stack.append((child, m))
+        if "mesh" not in node:
+            continue
+        mesh = doc["meshes"][node["mesh"]]
+        for prim in mesh["primitives"]:
+            if prim.get("mode", 4) != 4:  # triangles only
+                continue
+            pos = accessor(prim["attributes"]["POSITION"]).astype(np.float64)
+            pos = pos @ m[:3, :3].T + m[:3, 3]
+            if "indices" in prim:
+                idx = accessor(prim["indices"]).reshape(-1).astype(np.int64)
+            else:
+                idx = np.arange(len(pos), dtype=np.int64)
+            base = sum(len(v) for v in verts_all)
+            verts_all.append(pos.astype(np.float32))
+            faces_all.append((idx.reshape(-1, 3) + base).astype(np.int32))
+            if "COLOR_0" in prim["attributes"]:
+                col = accessor(prim["attributes"]["COLOR_0"])[:, :3]
+                if col.dtype != np.uint8:
+                    col = np.clip(
+                        col.astype(np.float64)
+                        / (65535.0 if col.dtype == np.uint16 else 1.0),
+                        0, 1,
+                    ) * 255.0
+                colors_all.append(col.astype(np.uint8))
+            else:
+                have_color = False
+    assert verts_all, "GLB contains no triangle geometry"
+    verts = np.concatenate(verts_all)
+    faces = np.concatenate(faces_all)
+    colors = np.concatenate(colors_all) if (have_color and colors_all) else None
+    return verts, faces, colors
+
+
+def write_glb(path: str, vertices: np.ndarray, faces: np.ndarray,
+              colors: Optional[np.ndarray] = None) -> None:
+    """Minimal single-mesh GLB writer (POSITION + uint32 indices +
+    optional normalized-uint8 COLOR_0) — test fixture/export utility."""
+    import json as json_mod
+
+    vertices = np.asarray(vertices, np.float32)
+    idx = np.asarray(faces, np.uint32).reshape(-1)
+    blobs = [vertices.tobytes(), idx.tobytes()]
+    views = [
+        {"buffer": 0, "byteOffset": 0, "byteLength": len(blobs[0])},
+        {"buffer": 0, "byteOffset": len(blobs[0]), "byteLength": len(blobs[1])},
+    ]
+    accessors = [
+        {"bufferView": 0, "componentType": 5126, "count": len(vertices),
+         "type": "VEC3",
+         "min": vertices.min(axis=0).tolist(),
+         "max": vertices.max(axis=0).tolist()},
+        {"bufferView": 1, "componentType": 5125, "count": len(idx),
+         "type": "SCALAR"},
+    ]
+    attributes = {"POSITION": 0}
+    if colors is not None:
+        c4 = np.concatenate(
+            [np.asarray(colors, np.uint8),
+             np.full((len(colors), 1), 255, np.uint8)], axis=1)
+        off = sum(len(b) for b in blobs)
+        blobs.append(c4.tobytes())
+        views.append({"buffer": 0, "byteOffset": off, "byteLength": len(blobs[-1])})
+        accessors.append({"bufferView": 2, "componentType": 5121,
+                          "count": len(colors), "type": "VEC4",
+                          "normalized": True})
+        attributes["COLOR_0"] = 2
+    bin_blob = b"".join(blobs)
+    bin_blob += b"\x00" * ((-len(bin_blob)) % 4)
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [
+            {"attributes": attributes, "indices": 1, "mode": 4}
+        ]}],
+        "buffers": [{"byteLength": len(bin_blob)}],
+        "bufferViews": views,
+        "accessors": accessors,
+    }
+    js = json_mod.dumps(doc).encode()
+    js += b" " * ((-len(js)) % 4)
+    total = 12 + 8 + len(js) + 8 + len(bin_blob)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<4sII", b"glTF", 2, total))
+        f.write(struct.pack("<I4s", len(js), b"JSON"))
+        f.write(js)
+        f.write(struct.pack("<I4s", len(bin_blob), b"BIN\x00"))
+        f.write(bin_blob)
+
+
 def load_mesh(path: str):
     """Dispatch on extension. Returns (verts, faces, colors_or_None)."""
     lower = path.lower()
     if lower.endswith(".obj"):
         return read_obj(path)
+    if lower.endswith(".glb") or lower.endswith(".gltf"):
+        return read_glb(path)
     return read_ply(path)
