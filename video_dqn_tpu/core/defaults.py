@@ -67,6 +67,13 @@ def get_cfg_defaults() -> ConfigNode:
                     "BATCH_SIZE": 256,          # reference trained at 16 (train_q_network.py:98)
                     "COMPUTE_DTYPE": "bfloat16",  # MXU-friendly; params stay float32
                     "MESH_DATA": -1,             # -1: all devices on the data axis
+                    # Model-parallel axis. Default 1 (pure DP): the
+                    # flagship head (1600->512->256->15) is far below the
+                    # 128-lane tile where TP pays for its collectives —
+                    # the sharding rules in parallel/sharding.py only
+                    # split dims divisible by 128, so >1 is only useful
+                    # for wider custom heads. dryrun_multichip still
+                    # exercises a 4x2 mesh to keep the TP path compiled.
                     "MESH_MODEL": 1,
                     "REMAT": False,              # jax.checkpoint the backbone
                     "PREFETCH_DEPTH": 2,         # host->HBM double buffering

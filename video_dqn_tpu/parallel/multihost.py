@@ -31,8 +31,17 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        pass  # single-process
+    except (ValueError, RuntimeError) as e:
+        # Single-process fallback must be LOUD: a misconfigured real
+        # multi-host run degrading silently would train on 1/N of the
+        # fleet with no signal (round-1 advisor finding).
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "jax.distributed.initialize failed (%s: %s) — continuing "
+            "single-process. If this is a multi-host run, fix the "
+            "coordinator/process settings.", type(e).__name__, e,
+        )
 
 
 def is_primary() -> bool:
