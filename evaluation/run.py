@@ -34,6 +34,10 @@ def main():
                         help="PLY/OBJ scene file for the mesh backend")
     parser.add_argument("--workload", default=None,
                         help="run N generated episodes (product workload)")
+    parser.add_argument("--batched", default=None, type=int, metavar="N",
+                        help="model-scored runs only: keep N episodes in "
+                             "flight with cross-episode fused (and, on a "
+                             "multi-chip mesh, data-sharded) scoring")
     parser.add_argument("config", help="eval config yml")
     args = parser.parse_args()
 
@@ -57,7 +61,8 @@ def main():
 
         backend = "mesh" if (args.mesh_env or args.mesh_scene) else "fake"
         episodes, env_factory, house_factory = make_episode_set(
-            int(args.workload), backend=backend, mesh_path=args.mesh_scene)
+            int(args.workload), backend=backend, mesh_path=args.mesh_scene,
+            fresh_envs=bool(args.batched))
         kwargs = {"env_factory": env_factory, "house_factory": house_factory}
     elif args.mesh_env or args.mesh_scene:
         # mesh simulator backend (real-scene path; procedural maze without
@@ -85,9 +90,37 @@ def main():
         import jax
 
         jax.profiler.start_trace("/tmp/jax_trace")
-    run_policy(config, episodes=episodes, debug=args.debug,
-               visualize_every=(1 if args.visualize else 100),
-               resume=args.resume, start=args.start, **kwargs)
+    if args.batched and config.SCORE == "model" and "env_factory" in kwargs:
+        import jax
+
+        from video_dqn_tpu.core.experiment import ExperimentConfig
+        from video_dqn_tpu.eval import load_eval_model
+        from video_dqn_tpu.eval.batched_runner import (
+            make_multiclass_scorer,
+            run_policy_batched,
+        )
+        from video_dqn_tpu.parallel import make_mesh
+
+        mc = ExperimentConfig(config.MODEL_CONFIG_LOCATION, resume=True,
+                              tensorboard=False)
+        model, params, batch_stats = load_eval_model(config, mc)
+        mesh = make_mesh(len(jax.devices()), 1) if len(jax.devices()) > 1 else None
+        scorer = make_multiclass_scorer(model, params, batch_stats, mesh=mesh)
+        run_policy_batched(
+            config, episodes,
+            env_factory=lambda h, c: kwargs["env_factory"](h, mc, c),
+            house_factory=kwargs["house_factory"],
+            scorer=scorer, class_index_of=True,
+            max_concurrent=int(args.batched), debug=args.debug,
+        )
+    else:
+        if args.batched:
+            print("--batched needs SCORE: model and a generated-episode "
+                  "mode (--fake-env/--mesh-env/--workload); running "
+                  "sequentially")
+        run_policy(config, episodes=episodes, debug=args.debug,
+                   visualize_every=(1 if args.visualize else 100),
+                   resume=args.resume, start=args.start, **kwargs)
     if args.profile:
         import jax
 

@@ -38,7 +38,8 @@ def make_env_and_episode(goal_cells=(6, 6), start_cells=(2, 2), size=32):
 
 
 def make_episode_set(n: int, size: int = 48, seed: int = 0,
-                     backend: str = "fake", mesh_path=None, panorama=False):
+                     backend: str = "fake", mesh_path=None, panorama=False,
+                     fresh_envs: bool = False):
     """Generate an n-episode product workload on one shared backend env:
     random navigable starts and reachable goals, one FakeHouse per episode
     (distinct house names so the runner's house-switch logic exercises its
@@ -53,13 +54,20 @@ def make_episode_set(n: int, size: int = 48, seed: int = 0,
         from video_dqn_tpu.sim.meshgen import maze_mesh
 
         if mesh_path is not None:
-            env = MeshNavEnv(mesh_path=mesh_path, image_size=size,
-                             panorama=panorama, seed=seed)
+            def build_env(s):
+                return MeshNavEnv(mesh_path=mesh_path, image_size=size,
+                                  panorama=panorama, seed=s)
         else:
-            env = MeshNavEnv(mesh=maze_mesh(DEFAULT_MAZE), image_size=size,
-                             num_floors=1, panorama=panorama, seed=seed)
+            geometry = maze_mesh(DEFAULT_MAZE)
+
+            def build_env(s):
+                return MeshNavEnv(mesh=geometry, image_size=size,
+                                  num_floors=1, panorama=panorama, seed=s)
     else:
-        env = FakeNavEnv(image_size=size, panorama=panorama, seed=seed)
+        def build_env(s):
+            return FakeNavEnv(image_size=size, panorama=panorama, seed=s)
+
+    env = build_env(seed)
 
     episodes = []
     houses = {}
@@ -73,8 +81,16 @@ def make_episode_set(n: int, size: int = 48, seed: int = 0,
         houses[hn] = FakeHouse(goal)
         episodes.append((hn, 0, cls, gd, start, ang))
 
-    def env_factory(house, model_config, config):
-        return env
+    if fresh_envs:
+        # concurrent (batched) episodes cannot share an env
+        counter = [seed]
+
+        def env_factory(house, model_config, config):
+            counter[0] += 1
+            return build_env(counter[0])
+    else:
+        def env_factory(house, model_config, config):
+            return env
 
     def house_factory(name):
         return houses[name]
