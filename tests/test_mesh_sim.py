@@ -311,3 +311,20 @@ def test_gibson_get_env_mesh_backend(tmp_path, monkeypatch):
     obs = env.get_observation()
     assert obs["rgb"].shape == (24, 24, 3)
     assert len(env.floor_heights) == 1
+
+
+def test_render_grid_on_mesh_env(tmp_path, maze_env):
+    """The visualization-grid producer works on the mesh backend too
+    (the reference pre-rendered grids with habitat; visualize_value.py:63)."""
+    from video_dqn_tpu.viz.render_grid import render_grid
+
+    env = maze_env
+    env.set_agent_state(np.array([1.25, 0.0, 1.25]), 0.0)
+    n = render_grid(env, str(tmp_path / "grid"), resolution=6)
+    assert n > 4
+    import glob
+
+    files = glob.glob(str(tmp_path / "grid" / "*.jpg"))
+    assert len(files) == 4 * n
+    info = np.load(str(tmp_path / "grid" / "info.npy"), allow_pickle=True).item()
+    assert info["map_resolution"] == 6

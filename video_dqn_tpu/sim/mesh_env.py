@@ -222,6 +222,11 @@ class MeshNavEnv:
         """(nz, nx) bool navigable cells; origin self._lo, res self.nav_res."""
         return self._grids[floor]
 
+    def _blocked(self, x: float, z: float) -> bool:
+        """Non-navigable test on the agent's current floor (the grid-world
+        interface viz/render_grid consumes)."""
+        return not self._navigable(x, z, self._floor_of(self._pos[1]))
+
     def topdown_extent(self) -> float:
         """Max dimension (meters) of the current floor's navigable area —
         what the reference derives from maps.get_topdown_map + crop

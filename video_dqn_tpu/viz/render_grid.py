@@ -31,8 +31,11 @@ def render_grid(
 
     os.makedirs(out_dir, exist_ok=True)
     if world_extent is None:
-        gh, gw = env.grid.shape
-        world_extent = max(gh, gw) * env.cell
+        if hasattr(env, "grid"):  # occupancy-grid backend
+            gh, gw = env.grid.shape
+            world_extent = max(gh, gw) * env.cell
+        else:  # mesh backend: navigable extent
+            world_extent = float(env.topdown_extent())
     cells = 0
     for r in range(resolution):
         for c in range(resolution):
