@@ -31,6 +31,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -330,21 +331,17 @@ void mesh_bounds(void* h, float* out6) {
 // camera forward axis), matching the habitat depth sensor the planner's
 // unprojection assumes. Pixels with no hit within max_depth render at
 // max_depth with a dark background color.
-void mesh_render(void* h, const double* poses, int n_views, int size,
-                 double xc, double zc, double f, double max_depth,
-                 float* out_depth, uint8_t* out_rgb) {
-  Mesh* m = (Mesh*)h;
-  const float maxd = (float)max_depth;
-  for (int view = 0; view < n_views; ++view) {
-    const double* p = poses + 4 * view;
+namespace {
+
+void render_rows(const Mesh* m, const double* p, int size, double xc,
+                 double zc, double f, float maxd, int r0, int r1,
+                 float* dview, uint8_t* cview) {
     V3 origin = v3((float)p[0], (float)p[1], (float)p[2]);
     float a = (float)p[3];
     V3 fwd = v3(-std::sin(a), 0.0f, -std::cos(a));
     V3 right = v3(std::cos(a), 0.0f, -std::sin(a));
     V3 up = v3(0.0f, 1.0f, 0.0f);
-    float* dview = out_depth + (size_t)view * size * size;
-    uint8_t* cview = out_rgb + (size_t)view * size * size * 3;
-    for (int r = 0; r < size; ++r) {
+    for (int r = r0; r < r1; ++r) {
       float vv = (float)((zc - r) / f);
       for (int c = 0; c < size; ++c) {
         float uu = (float)((c - xc) / f);
@@ -386,6 +383,36 @@ void mesh_render(void* h, const double* poses, int n_views, int size,
         cview[3 * pix + 2] = (uint8_t)std::min(255.0f, cb * lambert);
       }
     }
+}
+
+}  // namespace
+
+void mesh_render(void* h, const double* poses, int n_views, int size,
+                 double xc, double zc, double f, double max_depth,
+                 float* out_depth, uint8_t* out_rgb) {
+  Mesh* m = (Mesh*)h;
+  const float maxd = (float)max_depth;
+  // rows split across hardware threads (deterministic: each pixel is
+  // written by exactly one thread); single-threaded when 1 core.
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = (int)std::min<unsigned>(hw ? hw : 1, 16);
+  for (int view = 0; view < n_views; ++view) {
+    const double* p = poses + 4 * view;
+    float* dview = out_depth + (size_t)view * size * size;
+    uint8_t* cview = out_rgb + (size_t)view * size * size * 3;
+    if (n_threads <= 1 || size < 2 * n_threads) {
+      render_rows(m, p, size, xc, zc, f, maxd, 0, size, dview, cview);
+      continue;
+    }
+    std::vector<std::thread> pool;
+    int chunk = (size + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+      int r0 = t * chunk, r1 = std::min(size, r0 + chunk);
+      if (r0 >= r1) break;
+      pool.emplace_back(render_rows, m, p, size, xc, zc, f, maxd, r0, r1,
+                        dview, cview);
+    }
+    for (auto& th : pool) th.join();
   }
 }
 
