@@ -69,7 +69,8 @@ def main():
         # a scene file)
         from video_dqn_tpu.eval.fixtures import make_mesh_env_and_episode
 
-        env, house, ep = make_mesh_env_and_episode(mesh_path=args.mesh_scene)
+        env, house, ep = make_mesh_env_and_episode(
+            mesh_path=args.mesh_scene, allow_stairs=bool(config.STAIRS))
         episodes = np.array([ep], dtype=object)
         kwargs = {
             "env_factory": lambda h, mc, c: env,

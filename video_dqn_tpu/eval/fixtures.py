@@ -99,7 +99,8 @@ def make_episode_set(n: int, size: int = 48, seed: int = 0,
 
 
 def make_mesh_env_and_episode(goal_cells=(6, 6), start_cells=(2, 2), size=224,
-                              mesh_path=None, panorama=False, seed=0):
+                              mesh_path=None, panorama=False, seed=0,
+                              allow_stairs=False):
     """(env, house, episode) on the mesh backend: either a scene file
     (PLY/OBJ via --mesh-scene) or the extruded default maze. The mesh
     counterpart of make_env_and_episode — same episode contract
@@ -108,7 +109,8 @@ def make_mesh_env_and_episode(goal_cells=(6, 6), start_cells=(2, 2), size=224,
 
     if mesh_path is not None:
         env = MeshNavEnv(mesh_path=mesh_path, image_size=size,
-                         panorama=panorama, seed=seed)
+                         panorama=panorama, seed=seed,
+                         allow_stairs=allow_stairs)
         start, ang = env.sample_start_state(0)
         env.set_agent_state(start, ang)
         goal = env.sample_reachable_goal(0)
@@ -119,7 +121,7 @@ def make_mesh_env_and_episode(goal_cells=(6, 6), start_cells=(2, 2), size=224,
         cell = 0.5
         env = MeshNavEnv(mesh=maze_mesh(DEFAULT_MAZE, cell=cell),
                          image_size=size, num_floors=1, panorama=panorama,
-                         seed=seed)
+                         seed=seed, allow_stairs=allow_stairs)
         # cell centers: exact multiples land on wall corners in the mesh
         goal = np.array([(goal_cells[0] + 0.5) * cell, 0.0,
                          (goal_cells[1] + 0.5) * cell])
