@@ -328,3 +328,40 @@ def test_render_grid_on_mesh_env(tmp_path, maze_env):
     assert len(files) == 4 * n
     info = np.load(str(tmp_path / "grid" / "info.npy"), allow_pickle=True).item()
     assert info["map_resolution"] == 6
+
+
+def test_furnished_house_product_loop(tmp_path):
+    """The closest asset-free stand-in for a real Gibson evaluation:
+    two-floor furnished house, per-class furniture goals, rooms + doors,
+    episodes on BOTH floors through the full harness."""
+    from video_dqn_tpu.eval import display_results, run_policy
+    from video_dqn_tpu.eval.fixtures import make_furnished_house
+    from video_dqn_tpu.eval.policy_config import get_eval_defaults
+    from video_dqn_tpu.sim.gibson import relevant_locations
+
+    env, house = make_furnished_house(seed=2)
+    assert len(env.floor_heights) == 2
+
+    episodes = []
+    for floor, cls in ((0, "bed"), (1, "chair")):
+        start, ang = env.sample_start_state(floor)
+        goals = relevant_locations(
+            start, house.object_locations_for_habitat_dest[cls])
+        assert goals, f"no same-floor goals for {cls} on floor {floor}"
+        gd = min(env.geodesic_distance(start, g) for g in goals)
+        assert np.isfinite(gd)
+        episodes.append(("FurnishedHouse", floor, cls, gd, start, ang))
+
+    cfg = get_eval_defaults()
+    cfg.SCORE = "geodesic"
+    cfg.SLAM = True
+    cfg.SEED = 1
+    cfg.RESULT_LOCATION = str(tmp_path / "results")
+    run_policy(
+        cfg,
+        episodes=np.array(episodes, dtype=object),
+        env_factory=lambda h, mc, c: env,
+        house_factory=lambda name: house,
+    )
+    mean = display_results(cfg, quiet=True)
+    assert mean is not None and mean > 0.0

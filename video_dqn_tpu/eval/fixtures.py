@@ -24,6 +24,46 @@ class FakeHouse:
         self.num_floors = 1
 
 
+class MeshHouse:
+    """GibsonHouse stand-in built from a generated scene's object map
+    (class -> [(x, y, z) centers]): corner polygons + destination points
+    per class, like gibson_info.object_locations_for_habitat_dest
+    (/root/reference/gibson_info.py:233-279)."""
+
+    def __init__(self, name, objects, num_floors=2):
+        self.name = name
+        self.num_floors = num_floors
+        self.objects = {}
+        self.object_locations_for_habitat_dest = {}
+        for cls in CLASS_LABELS:
+            polys, dests = [], []
+            for center in objects.get(cls, []):
+                center = np.asarray(center, np.float64)
+                corners = [
+                    center + np.array([dx, 0, dz]) * 0.45
+                    for dx, dz in [(1, 1), (1, -1), (-1, -1), (-1, 1)]
+                ]
+                polys.append(corners)
+                dests.extend(corners)
+            self.objects[cls] = polys
+            self.object_locations_for_habitat_dest[cls] = dests
+
+
+def make_furnished_house(size_px: int = 48, seed: int = 0,
+                         allow_stairs: bool = False):
+    """(env, house) on the furnished two-floor procedural house — the
+    closest asset-free stand-in for a real Gibson house (rooms, doors,
+    furniture objects of every target class on both floors, stairs)."""
+    from video_dqn_tpu.sim.mesh_env import MeshNavEnv
+    from video_dqn_tpu.sim.meshgen import furnished_house_mesh
+
+    v, f, c, objects = furnished_house_mesh()
+    env = MeshNavEnv(mesh=(v, f, c), image_size=size_px, num_floors=2,
+                     seed=seed, allow_stairs=allow_stairs)
+    house = MeshHouse("FurnishedHouse", objects, num_floors=2)
+    return env, house
+
+
 def make_env_and_episode(goal_cells=(6, 6), start_cells=(2, 2), size=32):
     """(env, house, episode-tuple) with a same-room goal in the default maze."""
     env = FakeNavEnv(image_size=size)

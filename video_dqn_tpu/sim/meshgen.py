@@ -135,3 +135,77 @@ def wall_scene(distance: float = 2.0, half_width: float = 5.0,
            (half_width, -1.25, half_width), (half_width, -1.25, -half_width),
            (80, 80, 80))
     return b.build()
+
+
+# Furniture footprints (w, h, d in meters) per target class
+_FURNITURE = {
+    "bed": (1.9, 0.55, 1.5, (200, 200, 230)),
+    "chair": (0.5, 0.9, 0.5, (150, 100, 60)),
+    "couch": (1.8, 0.8, 0.85, (90, 140, 90)),
+    "dining table": (1.4, 0.75, 0.9, (160, 120, 70)),
+    "toilet": (0.45, 0.75, 0.45, (230, 230, 230)),
+}
+
+
+def furnished_house_mesh(cell: float = 0.5, wall_height: float = 2.7,
+                         floor_gap: float = 3.0, size: int = 16):
+    """Two-floor house with interior room walls (door gaps), a connecting
+    ramp, and one furniture box per target class placed across both
+    floors. Returns (vertices, faces, colors, objects) where objects maps
+    class -> list of (x, y, z) object centers — the fixture equivalent of
+    the 3DSceneGraph object locations the reference reads
+    (/root/reference/gibson_info.py:188-296)."""
+    b = MeshBuilder()
+    w = size * cell
+    t = 0.1
+    # floors: ground slab + upper slab with stairwell opening on the east
+    b.quad((0, 0, 0), (0, 0, w), (w, 0, w), (w, 0, 0), (110, 110, 105))
+    open_x = w - 3 * cell
+    b.quad((0, floor_gap, 0), (0, floor_gap, w), (open_x, floor_gap, w),
+           (open_x, floor_gap, 0), (120, 105, 100))
+    # perimeter walls spanning both floors
+    top = floor_gap + wall_height
+    b.box((0, 0, 0), (w, top, t), (90, 100, 120))
+    b.box((0, 0, w - t), (w, top, w), (90, 100, 120))
+    b.box((0, 0, 0), (t, top, w), (100, 90, 120))
+    b.box((w - t, 0, 0), (w, top, w), (100, 90, 120))
+    # ground-floor interior wall with a door gap (rooms along z)
+    zmid = w / 2
+    door_w = 1.2
+    b.box((t, 0, zmid - t), (w / 2 - door_w, wall_height, zmid + t),
+          (130, 130, 140))
+    b.box((w / 2 + door_w, 0, zmid - t), (open_x - cell, wall_height, zmid + t),
+          (130, 130, 140))
+    # upper-floor interior wall with a door gap (rooms along x)
+    xmid = open_x / 2
+    b.box((xmid - t, floor_gap, t), (xmid + t, floor_gap + wall_height,
+                                     w / 2 - door_w), (140, 130, 130))
+    b.box((xmid - t, floor_gap, w / 2 + door_w),
+          (xmid + t, floor_gap + wall_height, w - t), (140, 130, 130))
+    # the ramp
+    n_seg = 16
+    z0, z1 = 2 * t, w - 2 * t
+    for i in range(n_seg):
+        za = z0 + (z1 - z0) * i / n_seg
+        zb = z0 + (z1 - z0) * (i + 1) / n_seg
+        ya = floor_gap * i / n_seg
+        yb = floor_gap * (i + 1) / n_seg
+        b.quad((open_x, ya, za), (open_x, yb, zb), (w - t, yb, zb),
+               (w - t, ya, za), (160, 120, 80))
+
+    # furniture: alternate floors, corners of rooms
+    placements = {
+        "bed": (1.6, 0.0, 1.6),
+        "couch": (1.6, 0.0, w - 2.0),
+        "toilet": (w / 2 + 1.0, 0.0, 1.2),
+        "dining table": (1.6, floor_gap, 1.6),
+        "chair": (open_x - 1.6, floor_gap, w - 2.0),
+    }
+    objects = {}
+    for cls, (cx, cy, cz) in placements.items():
+        fw, fh, fd, color = _FURNITURE[cls]
+        b.box((cx - fw / 2, cy, cz - fd / 2),
+              (cx + fw / 2, cy + fh, cz + fd / 2), color)
+        objects[cls] = [np.array([cx, cy, cz])]
+    verts, faces, colors = b.build()
+    return verts, faces, colors, objects
