@@ -405,15 +405,21 @@ class MeshNavEnv:
             blocked = bool(tri[0] >= 0 and t[0] <= self.fwd + self.agent_radius)
             y = float(self._pos[1])
             if not blocked:
-                # walkable-floor continuity along 5 substeps
-                for f in np.linspace(0.2, 1.0, 5):
-                    sy = self._walkable_near(
-                        self._pos[0] + dx * f, self._pos[2] + dz * f, y
-                    )
-                    if sy is None:
+                # walkable-floor continuity along 5 substeps — all probe
+                # columns in ONE native call
+                fr = np.linspace(0.2, 1.0, 5)
+                cols = np.stack(
+                    [self._pos[0] + dx * fr, self._pos[2] + dz * fr], axis=1
+                )
+                ys, oks, cnt = self._probe_levels(cols)
+                lv = np.arange(ys.shape[1])[None, :] < cnt[:, None]
+                for i in range(len(fr)):
+                    cand = ys[i]
+                    good = oks[i] & lv[i] & (np.abs(cand - y) <= self.max_climb)
+                    if not good.any():
                         blocked = True
                         break
-                    y = sy
+                    y = float(cand[good].max())
             if not blocked:
                 self._pos = np.array(
                     [self._pos[0] + dx, y, self._pos[2] + dz]
