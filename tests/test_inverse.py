@@ -105,3 +105,32 @@ def test_val_episodes_table_loads():
     hn, floor, cls, gd, pos, rot = eps[0]
     assert pos.shape == (3,) and rot.shape == (4,)
     assert cls in {"bed", "chair", "couch", "dining table", "toilet"}
+
+
+def test_inverse_backbone_graft(tmp_path):
+    """backbone_weights initializes the FROZEN trunk (params + BN stats)
+    from a torchvision state dict — without it the stop_gradient trunk
+    would stay at random init forever (reference inverse_action2.py:50
+    builds from resnet18(pretrained=True))."""
+    import torch
+
+    from tests.torch_ref import TorchResNet18
+    from video_dqn_tpu.train.inverse import create_inverse_state
+
+    torch.manual_seed(11)
+    tref = TorchResNet18()
+    with torch.no_grad():
+        tref(torch.randn(2, 3, 64, 64))
+    path = str(tmp_path / "resnet18.pth")
+    torch.save(tref.state_dict(), path)
+
+    _, state, _ = create_inverse_state(image_size=224, backbone_weights=path)
+    sd = tref.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(state.params["resnet"]["conv1"]["kernel"]),
+        sd["conv1.weight"].numpy().transpose(2, 3, 1, 0), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state.batch_stats["resnet"]["layer2_0"]["bn1"]["mean"]),
+        sd["layer2.0.bn1.running_mean"].numpy(), rtol=1e-5)
+    # head layers stay randomly initialized
+    assert "fc_accuracy" in state.params

@@ -10,6 +10,8 @@ import argparse
 def main():
     parser = argparse.ArgumentParser(description="train inverse-action model (TPU)")
     parser.add_argument("--train_data", default="data/inverse_model/medium_inverse_train_data.npy")
+    parser.add_argument("--backbone-weights", default="",
+                        help="torchvision resnet18 state dict for the frozen trunk")
     parser.add_argument("--val_data", default="data/inverse_model/medium_inverse_val_data.npy")
     parser.add_argument("--image_root", default="", help="root for state image folders")
     parser.add_argument("--lr", type=float, default=0.001)
@@ -42,6 +44,7 @@ def main():
         lr_decay=args.lr_decay,
         decay_every_steps=int(args.lr_decay_every * steps_per_epoch),
         weight_decay=args.weight_decay,
+        backbone_weights=args.backbone_weights,
     )
 
 

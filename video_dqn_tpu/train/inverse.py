@@ -46,9 +46,32 @@ def create_inverse_state(
     seed: int = 0,
     image_size: int = 224,
     dtype=jnp.bfloat16,
+    backbone_weights: str = "",
 ) -> Tuple[InverseActionModel, InverseTrainState, optax.GradientTransformation]:
     model = InverseActionModel(dtype=dtype)
     params, batch_stats = init_inverse(model, jax.random.key(seed), image_size)
+    if backbone_weights:
+        # the trunk is FROZEN (stop_gradient) — without pretrained weights
+        # it would stay random forever; the reference builds it from
+        # resnet18(pretrained=True) (/root/reference/archs/inverse_action2.py:50)
+        from video_dqn_tpu.models.torch_convert import (
+            convert_resnet18,
+            load_torch_state_dict,
+        )
+        from video_dqn_tpu.train.dqn import _graft
+
+        rparams, rstats = convert_resnet18(load_torch_state_dict(backbone_weights))
+        params = dict(params)
+        batch_stats = dict(batch_stats)
+        params["resnet"] = _graft(params["resnet"], rparams, "resnet/")
+        batch_stats["resnet"] = _graft(batch_stats["resnet"], rstats, "resnet/")
+        print(f"Inverse trunk initialized from {backbone_weights}")
+    else:
+        print(
+            "WARNING: inverse trunk is frozen at random init; pass "
+            "backbone_weights (torchvision resnet18 state dict) to match "
+            "the reference's pretrained trunk."
+        )
     schedule = optax.exponential_decay(
         init_value=lr, transition_steps=decay_every_steps, decay_rate=lr_decay,
         staircase=True,
@@ -147,11 +170,13 @@ def run_inverse_train(
     image_size: int = 224,
     dtype=jnp.bfloat16,
     seed: int = 0,
+    backbone_weights: str = "",
 ):
     if mesh is None:
         mesh = make_mesh()
     model, state, tx = create_inverse_state(
-        lr, lr_decay, decay_every_steps, weight_decay, seed, image_size, dtype
+        lr, lr_decay, decay_every_steps, weight_decay, seed, image_size,
+        dtype, backbone_weights
     )
     state = jax.device_put(state, replicated(mesh))
     step_fn = jax.jit(make_inverse_step(model, tx), donate_argnums=(0,))
