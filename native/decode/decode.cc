@@ -42,11 +42,20 @@ struct Decoder {
   double sample_dt = 0.0;   // seconds between sampled frames
   double next_sample = 0.0; // next sample timestamp (seconds)
   bool eof_sent = false;
+  bool pkt_pending = false;  // send_packet returned EAGAIN; resend d->pkt
+  int64_t frames_seen = 0;   // timestamp fallback counter
 };
 
-double frame_time(const Decoder* d, const AVFrame* f) {
+double frame_time(Decoder* d, const AVFrame* f) {
   int64_t pts = f->best_effort_timestamp;
   if (pts == AV_NOPTS_VALUE) pts = f->pts;
+  if (pts == AV_NOPTS_VALUE) {
+    // elementary streams without timestamps: synthesize from the frame
+    // counter and the stream's frame rate (cv2-oracle behavior)
+    AVRational fr = d->fmt->streams[d->stream]->avg_frame_rate;
+    double fps = (fr.num > 0 && fr.den > 0) ? av_q2d(fr) : 30.0;
+    return d->frames_seen / fps;
+  }
   AVRational tb = d->fmt->streams[d->stream]->time_base;
   return pts * av_q2d(tb);
 }
@@ -119,6 +128,7 @@ int decoder_next(void* h, uint8_t* out_rgb) {
     int r = avcodec_receive_frame(d->codec, d->frame);
     if (r == 0) {
       double t = frame_time(d, d->frame);
+      d->frames_seen++;
       if (d->sample_dt <= 0 || t >= d->next_sample - 1e-9) {
         if (d->sample_dt > 0) {
           // skip ahead past any samples this frame covers
@@ -137,20 +147,33 @@ int decoder_next(void* h, uint8_t* out_rgb) {
     // feed more packets
     if (d->eof_sent) return 0;
     while (true) {
-      int pr = av_read_frame(d->fmt, d->pkt);
-      if (pr < 0) {
-        avcodec_send_packet(d->codec, nullptr);  // flush
-        d->eof_sent = true;
-        break;
-      }
-      if (d->pkt->stream_index != d->stream) {
-        av_packet_unref(d->pkt);
-        continue;
+      if (!d->pkt_pending) {
+        int pr = av_read_frame(d->fmt, d->pkt);
+        if (pr < 0) {
+          avcodec_send_packet(d->codec, nullptr);  // flush
+          d->eof_sent = true;
+          break;
+        }
+        if (d->pkt->stream_index != d->stream) {
+          av_packet_unref(d->pkt);
+          continue;
+        }
       }
       int sr = avcodec_send_packet(d->codec, d->pkt);
+      if (sr == 0) {
+        av_packet_unref(d->pkt);
+        d->pkt_pending = false;
+        break;
+      }
+      if (sr == AVERROR(EAGAIN)) {
+        // decoder is full: HOLD the packet (FFmpeg contract says resend
+        // the same packet after draining frames) and go receive
+        d->pkt_pending = true;
+        break;
+      }
       av_packet_unref(d->pkt);
-      if (sr == 0) break;
-      if (sr != AVERROR(EAGAIN)) return -1;
+      d->pkt_pending = false;
+      return -1;
     }
   }
 }

@@ -365,3 +365,19 @@ def test_furnished_house_product_loop(tmp_path):
     )
     mean = display_results(cfg, quiet=True)
     assert mean is not None and mean > 0.0
+
+
+def test_clone_shares_geometry_but_not_state(maze_env):
+    """clone() shares the BVH + nav grids (no re-probe) but gives each
+    episode independent agent state, goals and caches."""
+    env = maze_env
+    env.set_agent_state(np.array([1.25, 0.0, 1.25]), 0.0)
+    c = env.clone(seed=9)
+    assert c.mesh is env.mesh
+    assert c.navigable_grid(0) is env.navigable_grid(0)
+    c.set_agent_state(np.array([3.25, 0.0, 3.25]), 1.0)
+    c.goals = [np.array([5.0, 0.0, 5.0])]
+    assert not np.allclose(c.pos, env.pos)
+    assert env.goals != c.goals
+    c.step(0)
+    assert np.allclose(env.pos, [1.25, 0.0, 1.25])  # original untouched

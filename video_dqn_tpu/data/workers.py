@@ -58,14 +58,20 @@ def parallel_batches(
     """Infinite (or n_samples-bounded) shuffled batch stream decoded by
     `num_workers` processes. Batches are re-ordered to the submission
     sequence so the stream is deterministic for a given seed regardless of
-    worker scheduling."""
+    worker scheduling.
+
+    Worker processes start EAGERLY (in this call, on the calling thread),
+    not at the first next(): forking lazily would happen inside the
+    prefetcher's producer thread after the TPU runtime initialized — the
+    classic fork-after-accelerator-init hazard (torch DataLoader forks
+    before CUDA init for the same reason). Call this before any device
+    work (run_train does)."""
     from video_dqn_tpu.data.qlearning import QLearningBatcher
 
     # index stream comes from the parent (one RNG, deterministic)
     probe = QLearningBatcher(**batcher_kwargs)
     n = len(probe)
     del probe
-    rng = np.random.default_rng(seed)
 
     ctx = mp.get_context("fork")
     index_q = ctx.Queue(maxsize=queue_depth * max(1, num_workers))
@@ -78,7 +84,13 @@ def parallel_batches(
     ]
     for p in procs:
         p.start()
+    return _drive_workers(n, batch_size, num_workers, seed, queue_depth,
+                          n_samples, index_q, out_q, stop, procs)
 
+
+def _drive_workers(n, batch_size, num_workers, seed, queue_depth, n_samples,
+                   index_q, out_q, stop, procs):
+    rng = np.random.default_rng(seed)
     pending: Dict[int, object] = {}
     submitted = 0
     emitted = 0
@@ -102,7 +114,9 @@ def parallel_batches(
             if isinstance(result, Exception):
                 raise result
             pending[seq] = result
-            while emitted in pending:
+            while emitted in pending and (
+                n_samples is None or emitted < n_samples
+            ):
                 yield pending.pop(emitted)
                 emitted += 1
     finally:

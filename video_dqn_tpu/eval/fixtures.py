@@ -94,20 +94,24 @@ def make_episode_set(n: int, size: int = 48, seed: int = 0,
         from video_dqn_tpu.sim.meshgen import maze_mesh
 
         if mesh_path is not None:
-            def build_env(s):
-                return MeshNavEnv(mesh_path=mesh_path, image_size=size,
-                                  panorama=panorama, seed=s)
+            template = MeshNavEnv(mesh_path=mesh_path, image_size=size,
+                                  panorama=panorama, seed=seed)
         else:
-            geometry = maze_mesh(DEFAULT_MAZE)
+            template = MeshNavEnv(mesh=maze_mesh(DEFAULT_MAZE),
+                                  image_size=size, num_floors=1,
+                                  panorama=panorama, seed=seed)
 
-            def build_env(s):
-                return MeshNavEnv(mesh=geometry, image_size=size,
-                                  num_floors=1, panorama=panorama, seed=s)
+        def build_env(s):
+            # clone shares the BVH + nav grids (a full scene reload +
+            # probe sweep per batched episode would dominate the runtime)
+            return template.clone(seed=s)
+
+        env = template
     else:
         def build_env(s):
             return FakeNavEnv(image_size=size, panorama=panorama, seed=s)
 
-    env = build_env(seed)
+        env = build_env(seed)
 
     episodes = []
     houses = {}

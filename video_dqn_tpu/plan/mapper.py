@@ -217,10 +217,11 @@ class DepthMapperAndPlanner:
         cached = getattr(self, "_opened_cache", None)
         if cached is None:
             self._opened_cache = cached = {}
-        out = cached.get(n)
-        if out is None or cached.get("_src") is not traversible:
+        if cached.get("_src") is not traversible:
             cached.clear()
             cached["_src"] = traversible
+        out = cached.get(n)
+        if out is None:
             out = open_n_np(traversible, n)
             cached[n] = out
         return out

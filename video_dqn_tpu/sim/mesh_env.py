@@ -364,21 +364,21 @@ class MeshNavEnv:
         return self.get_observation()
 
     # -- stepping ----------------------------------------------------------
-    def _walkable_near(self, x: float, z: float, y_ref: float) -> Optional[float]:
-        """Highest WALKABLE surface within max_climb of y_ref under (x, z),
-        or None. Walkable = gentle slope + agent-height clearance, so a
-        floor under a low ramp or table does not qualify — preferring the
-        walkable candidate is what lets the agent transition from a floor
-        slab onto the coincident base of a ramp."""
-        ys, oks, cnt = self._probe_levels(np.array([[x, z]]))
-        n = int(cnt[0])
-        if n == 0:
-            return None
-        cand = ys[0, :n]
-        good = oks[0, :n] & (np.abs(cand - y_ref) <= self.max_climb)
-        if not good.any():
-            return None
-        return float(cand[good].max())
+    def clone(self, seed: int = 0) -> "MeshNavEnv":
+        """Cheap per-episode copy: shares the immutable mesh, BVH, nav
+        grids and floor heights; fresh agent state, RNG, goals and FMM
+        cache. Concurrent (batched) episodes each need their own instance
+        but NOT a scene reload + probe sweep."""
+        import copy
+
+        new = copy.copy(self)
+        new._rng = np.random.default_rng(seed)
+        new._fmm_cache = {}
+        new._pos = self._pos.copy()
+        new._ang = float(self._ang)
+        new.goals = [g.copy() for g in self.goals]
+        new.steps = 0
+        return new
 
     def step(self, action: int):
         """0 = forward 0.25 m, 1 = left, 2 = right. Forward blocks on

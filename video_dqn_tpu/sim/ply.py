@@ -128,6 +128,11 @@ def read_ply(path: str) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
                         fl.append((idx[0], idx[j], idx[j + 1]))
                 faces = np.asarray(fl, np.int32)
             else:
+                if any(p[2] is not None for p in props):
+                    raise ValueError(
+                        f"cannot skip unknown PLY element {name!r} with "
+                        "list properties (variable-size rows)"
+                    )
                 ti += count * len(props)
     else:
         little = "little" in fmt
@@ -157,7 +162,12 @@ def read_ply(path: str) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
                         fl.append((idx[0], idx[j], idx[j + 1]))
                 faces = np.asarray(fl, np.int32)
             else:  # skip fixed-size unknown elements
-                sz = sum(_PLY_TYPES[p[1]][1] for p in props if p[2] is None)
+                if any(p[2] is not None for p in props):
+                    raise ValueError(
+                        f"cannot skip unknown PLY element {name!r} with "
+                        "list properties (variable-size rows)"
+                    )
+                sz = sum(_PLY_TYPES[p[1]][1] for p in props)
                 off += count * sz
     assert verts is not None and faces is not None
     return verts, faces, colors
