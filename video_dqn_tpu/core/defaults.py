@@ -77,6 +77,9 @@ def get_cfg_defaults() -> ConfigNode:
                     "MESH_MODEL": 1,
                     "REMAT": False,              # jax.checkpoint the backbone
                     "PREFETCH_DEPTH": 2,         # host->HBM double buffering
+                    # training/eval frame resolution; the extra_capacity
+                    # head's flatten dim depends on it (224 -> 1600/frame)
+                    "IMAGE_SIZE": 224,
                     # JPEG-decode worker processes feeding the infeed
                     # (0 = decode in-process; reference used 8 DataLoader
                     # workers, train_q_network.py:98)

@@ -60,6 +60,7 @@ class QLearningBatcher:
         gamma: float = 0.99,
         image_size: int = 224,
         seed: int = 0,
+        cache_images: bool = False,
     ):
         df = read_feather(location)
         validate_schema(df)
@@ -69,6 +70,9 @@ class QLearningBatcher:
         self.previous_images = previous_images
         self.num_frames = 4 if previous_images else 1
         self._rng = np.random.default_rng(seed)
+        # optional RAM cache of decoded frames: small simulator-generated
+        # datasets fit in memory, removing JPEG decode from the hot loop
+        self._image_cache = {} if cache_images else None
 
         scores = self.cols["detector_score"]  # (N, 5)
         if confidence_reward:
@@ -121,7 +125,16 @@ class QLearningBatcher:
             paths = self._history_paths(path, start)
         else:
             paths = [path]
-        return np.stack([_load_image(p, self.image_size) for p in paths])
+        return np.stack([self._image(p) for p in paths])
+
+    def _image(self, path: str) -> np.ndarray:
+        if self._image_cache is None:
+            return _load_image(path, self.image_size)
+        out = self._image_cache.get(path)
+        if out is None:
+            out = _load_image(path, self.image_size)
+            self._image_cache[path] = out
+        return out
 
     def get_batch(self, indices: Optional[np.ndarray] = None, batch_size: int = 16) -> Dict[str, np.ndarray]:
         if indices is None:

@@ -121,7 +121,9 @@ def load_backbone_weights(config, params, batch_stats):
 
 def create_train_state(config, rng) -> Tuple[Any, TrainState, optax.GradientTransformation]:
     model = build_qnet(config)
-    params, batch_stats = init_qnet(model, rng)
+    tpu = getattr(config, "TPU", None)
+    image_size = int(tpu.IMAGE_SIZE) if tpu is not None and "IMAGE_SIZE" in tpu else 224
+    params, batch_stats = init_qnet(model, rng, image_size=image_size)
     params, batch_stats = load_backbone_weights(config, params, batch_stats)
     tx = optax.adam(config.LEARNING_RATE)
     opt_state = tx.init(params)
@@ -318,6 +320,7 @@ def run_train(
             inverse_actions=config.USE_INVERSE_ACTIONS,
             previous_images=config.PREVIOUS_IMAGES,
             seed=config.SEED,
+            image_size=int(config.TPU.IMAGE_SIZE),
         )
         batcher = QLearningBatcher(**batcher_kwargs)
         print(f"Load data from {config.DATASET}")
