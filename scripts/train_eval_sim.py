@@ -68,7 +68,7 @@ def main():
         feather = generate_sim_dataset(
             env, house, ds_root, n_videos=args.videos,
             steps_per_video=args.video_steps, reward_dist=args.reward_dist,
-            seed=0,
+            seed=0, floor=None,  # alternate floors: every class covered
         )
     print(f"dataset: {feather} ({time.time() - t0:.0f}s)")
 
@@ -122,9 +122,12 @@ def main():
     rng = np.random.default_rng(7)
     episodes = []
     for i in range(args.episodes):
-        floor = int(rng.integers(0, 2))
-        cls = CLASS_LABELS[int(rng.integers(0, len(CLASS_LABELS)))]
-        while True:
+        # (floor, cls) resampled INSIDE the retry loop: every class lives
+        # on exactly one floor of the furnished house, so a fixed
+        # mismatched pair would never find a same-floor goal
+        for _ in range(1000):
+            floor = int(rng.integers(0, 2))
+            cls = CLASS_LABELS[int(rng.integers(0, len(CLASS_LABELS)))]
             start, ang = ep_env.sample_start_state(floor)
             goals = relevant_locations(
                 start, house.object_locations_for_habitat_dest[cls])
@@ -133,6 +136,8 @@ def main():
             gd = min(ep_env.geodesic_distance(start, g) for g in goals)
             if np.isfinite(gd) and gd > 1.5:
                 break
+        else:
+            raise RuntimeError("could not sample a reachable episode")
         episodes.append(("FurnishedHouse", floor, cls, gd, start, ang))
     episodes = np.array(episodes, dtype=object)
 

@@ -49,10 +49,16 @@ def test_native_is_faster():
     pos = np.array([1.3, 0.0, 1.7])
     env_py.set_agent_state(pos, 0.3)
     env_c.set_agent_state(pos, 0.3)
-    t0 = time.perf_counter()
-    env_py.get_observation()
-    t_py = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    env_c.get_observation()
-    t_c = time.perf_counter() - t0
+    # best-of-3 CPU time: wall-clock single shots flake when other
+    # processes contend for this host's one core
+    def best(env):
+        times = []
+        for _ in range(3):
+            t0 = time.process_time()
+            env.get_observation()
+            times.append(time.process_time() - t0)
+        return min(times)
+
+    t_py = best(env_py)
+    t_c = best(env_c)
     assert t_c < t_py, (t_c, t_py)

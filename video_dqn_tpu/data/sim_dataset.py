@@ -55,7 +55,7 @@ def generate_sim_dataset(
     steps_per_video: int = 200,
     reward_dist: float = 1.0,
     seed: int = 0,
-    floor: int = 0,
+    floor: Optional[int] = 0,
     stride: int = 3,
 ) -> str:
     """Returns the path of the written data.feather. Frames land under
@@ -64,7 +64,9 @@ def generate_sim_dataset(
       detector_score[c] = 0.99 when the frame's position is within
       `reward_dist` geodesic meters of an object of class c (above every
       per-class threshold — the proximity stand-in for a detection), and
-      inverse_actions = the action actually taken after each before-frame."""
+      inverse_actions = the action actually taken after each before-frame.
+    floor=None alternates walks across the env's floors so every class
+    (objects live on one specific floor each) gets reward coverage."""
     from PIL import Image
 
     rng = np.random.default_rng(seed)
@@ -84,7 +86,10 @@ def generate_sim_dataset(
         vid = f"sim{v:08d}"
         vdir = os.path.join(frames_root, vid)
         os.makedirs(vdir, exist_ok=True)
-        pos, ang = env.sample_start_state(floor)
+        v_floor = (
+            v % getattr(env, "num_floors", 1) if floor is None else floor
+        )
+        pos, ang = env.sample_start_state(v_floor)
         env.set_agent_state(pos, ang)
         det: Dict[int, np.ndarray] = {}
         for i, (obs, action) in enumerate(

@@ -14,8 +14,10 @@ BOOTSTRAP warm start (:200-206).
 TPU-first design (none of this exists in the reference):
   * the THREE ResNet forwards (before/online-after/target-after) + loss +
     backward + Adam + conditional target sync are ONE compiled XLA program;
-    the online before/after passes are folded into a single forward over a
-    2B batch so the MXU sees one large conv program;
+    with frozen-BN architectures the online after-state pass (argmax-only,
+    zero cotangent) runs under stop_gradient so XLA dead-codes its
+    backward — only the before-state forward is differentiated (~23% of
+    step FLOPs saved vs differentiating a folded 2B forward);
   * uint8 batches are normalized on device (fused into the first conv's
     HBM read) — host ships 4x fewer bytes;
   * state lives sharded on a ('data','model') mesh and is donated, so
@@ -169,16 +171,30 @@ def make_loss_fn(model, config):
             else:
                 q_before = model.apply(variables, before, False)
                 new_stats = batch_stats
-        else:
-            # online net sees before+after as ONE 2B-batch forward
+        elif mutable_bn:
+            # basic arch (trainable BN): before+after as ONE 2B-batch
+            # train-mode forward so both halves update the running stats
             both = jnp.concatenate([before, after], axis=0)
-            if mutable_bn:
-                q_both, mut = model.apply(variables, both, True, mutable=["batch_stats"])
-                new_stats = mut["batch_stats"]
-            else:
-                q_both = model.apply(variables, both, False)
-                new_stats = batch_stats
+            q_both, mut = model.apply(variables, both, True, mutable=["batch_stats"])
+            new_stats = mut["batch_stats"]
             q_before, q_after_online = q_both[:b], q_both[b:]
+        else:
+            # extra_capacity (frozen BN): the after-state online Q only
+            # feeds an argmax (zero cotangent), but inside the same
+            # differentiated forward XLA still pays its full backward —
+            # measured 23.3 GFLOP/frame ~= 3 forwards + a 2B backward.
+            # Running it under stop_gradient(params) lets XLA dead-code
+            # the after-half backward: ~23% of step FLOPs.
+            q_before = model.apply(variables, before, False)
+            q_after_online = model.apply(
+                {
+                    "params": jax.lax.stop_gradient(params),
+                    "batch_stats": batch_stats,
+                },
+                after,
+                False,
+            )
+            new_stats = batch_stats
 
         act = batch["action"].astype(jnp.int32)  # (B,)
         # Q of the taken action for each of the 5 classes: (B, C).
