@@ -51,7 +51,8 @@ def main():
     from video_dqn_tpu.core import get_cfg_defaults
     import optax
 
-    batch_size = 512  # probed: 4077 f/s at 512 vs 4012 at 256 vs 3924 at 128
+    batch_size = 512  # probed (stop-grad step): 5986 at 512, 5935 at 768,
+    # 6005 at 1024 — flat past 512, keep the smaller footprint
     cfg = get_cfg_defaults()
     cfg.PANORAMA = False
     cfg.ARCHITECTURE = "extra_capacity"
