@@ -10,7 +10,7 @@ detectors + licensed Gibson scenes to close this loop; this script proves
 every stage of the framework end-to-end with none of them.
 
 Usage: python scripts/train_eval_sim.py [--steps 1500] [--episodes 20]
-       [--out /tmp/sim_loop]
+       [--out /tmp/sim_loop] [--size 96]
 Prints one JSON line per result row.
 """
 
@@ -22,12 +22,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SIZE = 96  # frame resolution for the whole loop
-
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/sim_loop")
+    ap.add_argument("--size", type=int, default=96,
+                    help="frame resolution for the whole loop "
+                         "(224 = the flagship config's resolution)")
     ap.add_argument("--videos", type=int, default=30)
     ap.add_argument("--video-steps", type=int, default=300)
     ap.add_argument("--steps", type=int, default=1500)
@@ -60,7 +61,7 @@ def main():
     os.makedirs(args.out, exist_ok=True)
 
     # ---- 1. generate ------------------------------------------------------
-    env, house = make_furnished_house(size_px=SIZE, seed=0)
+    env, house = make_furnished_house(size_px=args.size, seed=0)
     ds_root = os.path.join(args.out, "dataset")
     feather = os.path.join(ds_root, "data.feather")
     t0 = time.time()
@@ -91,13 +92,13 @@ def main():
                 "CHECKPOINT_INTERVAL": args.steps,
                 "TARGET_UPDATE_INTERVAL": 8000,
                 "SEED": 4,
-                "TPU": {"BATCH_SIZE": args.batch, "IMAGE_SIZE": SIZE},
+                "TPU": {"BATCH_SIZE": args.batch, "IMAGE_SIZE": args.size},
             },
             f,
         )
     config = ExperimentConfig(exp, tensorboard=False)
     batcher = QLearningBatcher(
-        feather, one_action=True, value_learning=True, image_size=SIZE,
+        feather, one_action=True, value_learning=True, image_size=args.size,
         seed=4, cache_images=True,
     )
     print(f"rows: {len(batcher)}, reward ratio: {batcher.reward_percentage():.3f}")
@@ -118,7 +119,7 @@ def main():
     model, params, batch_stats = load_eval_model(ecfg_model, mc)
 
     # fixed episode set on both floors
-    ep_env, _ = make_furnished_house(size_px=SIZE, seed=7)
+    ep_env, _ = make_furnished_house(size_px=args.size, seed=7)
     rng = np.random.default_rng(7)
     episodes = []
     for i in range(args.episodes):
@@ -165,7 +166,7 @@ def main():
     results["model"] = run_with(
         "model",
         lambda e, ci: make_model_scorer(model, params, batch_stats, ci,
-                                        image_size=SIZE),
+                                        image_size=args.size),
     )
     results["oracle"] = run_with(
         "oracle", lambda e, ci: make_geodesic_scorer(e))
