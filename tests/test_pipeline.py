@@ -340,3 +340,102 @@ def test_native_decode_fused_resize_and_errors(tmp_path):
     assert frames[0].shape == (48, 64, 3)
     with pytest.raises(IOError):
         next(native_decode.decode_frames(str(tmp_path / "missing.mp4")))
+
+
+def _write_test_jpegs(tmp_path, n=6, w=320, h=180):
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:h, 0:w]
+    paths = []
+    for i in range(n):
+        g = (
+            128
+            + 80 * np.sin(xx / 37.0 + i)
+            + 40 * np.cos(yy / 23.0 + 2 * i)
+            + rng.normal(0, 10, (h, w))
+        ).clip(0, 255).astype(np.uint8)
+        img = np.stack([g, np.roll(g, 3, 0), np.roll(g, 7, 1)], axis=2)
+        p = str(tmp_path / f"{i:04d}.jpg")
+        Image.fromarray(img).save(p, quality=88)
+        paths.append(p)
+    return paths
+
+
+def test_jpeg_batch_native_matches_pil_oracle(tmp_path):
+    """native/decode/jpeg.cc vs the PIL twin (_load_image): same transform
+    (DCT-scaled decode, smallest-edge bilinear resize, center crop), agree
+    within resampling tolerance on landscape, portrait, and tiny-upscale
+    inputs."""
+    from video_dqn_tpu.data import native_decode
+    from video_dqn_tpu.data.qlearning import _load_image, load_images
+
+    if not native_decode.available():
+        pytest.skip("libvdecode unavailable")
+    paths = _write_test_jpegs(tmp_path)
+    # portrait + smaller-than-target (upscale) variants
+    from PIL import Image
+
+    with Image.open(paths[0]) as im:
+        im.transpose(Image.ROTATE_90).save(str(tmp_path / "port.jpg"))
+        im.resize((60, 40)).save(str(tmp_path / "tiny.jpg"))
+    paths += [str(tmp_path / "port.jpg"), str(tmp_path / "tiny.jpg")]
+
+    size = 96
+    out, failed = native_decode.jpeg_batch(paths, size)
+    assert failed == []
+    assert out.shape == (len(paths), size, size, 3) and out.dtype == np.uint8
+    ref = np.stack([_load_image(p, size) for p in paths])
+    diff = np.abs(out.astype(np.int16) - ref.astype(np.int16))
+    assert diff.mean() < 3.0, diff.mean()
+
+    # load_images auto path returns the same array as the direct call
+    auto = load_images(paths, size)
+    assert np.array_equal(auto, out)
+    # forced-PIL path is the oracle itself
+    pil = load_images(paths, size, native=False)
+    assert np.array_equal(pil, ref)
+
+
+def test_jpeg_batch_fallback_for_non_jpeg(tmp_path):
+    """Files the native decoder rejects (e.g. a PNG with a .jpg name) fall
+    back to the PIL per-image path inside load_images."""
+    from video_dqn_tpu.data import native_decode
+    from video_dqn_tpu.data.qlearning import _load_image, load_images
+
+    if not native_decode.available():
+        pytest.skip("libvdecode unavailable")
+    from PIL import Image
+
+    paths = _write_test_jpegs(tmp_path, n=2)
+    png = str(tmp_path / "sneaky.jpg")
+    rng = np.random.default_rng(3)
+    Image.fromarray(rng.integers(0, 255, (50, 70, 3), dtype=np.uint8)).save(
+        png, format="PNG"
+    )
+    paths.append(png)
+    out = load_images(paths, 64)
+    assert out.shape == (3, 64, 64, 3)
+    assert np.array_equal(out[2], _load_image(png, 64))
+
+
+def test_qlearning_batcher_flattened_decode_keeps_slots(tmp_path, rng):
+    """The batcher's one-call flattened decode (before+after stacks in a
+    single load_images call) puts every frame back in its slot — each
+    batch image is exactly what a direct decode of its path yields."""
+    from video_dqn_tpu.data.qlearning import QLearningBatcher, load_images
+
+    from video_dqn_tpu.data.synthetic import make_synthetic_dataset
+
+    feather = make_synthetic_dataset(
+        str(tmp_path / "ds"), num_videos=2, frames_per_video=12, image_size=64
+    )
+    b = QLearningBatcher(location=feather, one_action=True, image_size=64,
+                         seed=0)
+    batch = b.get_batch(indices=np.arange(4))
+    assert batch["before"].shape == (4, 1, 64, 64, 3)
+    for j in range(4):
+        ref_b = load_images([b.cols["before_image"][j]], 64)[0]
+        ref_a = load_images([b.cols["after_image"][j]], 64)[0]
+        assert np.array_equal(batch["before"][j, 0], ref_b)
+        assert np.array_equal(batch["after"][j, 0], ref_a)

@@ -66,7 +66,7 @@ def run_detection_pass(
 ) -> Dict[str, Dict[int, np.ndarray]]:
     """Detect over frames/<vid>/%04d.jpg; returns and optionally saves
     {vid: {frame_id: (5,2) class array}}."""
-    from .qlearning import _load_image
+    from .qlearning import load_images
 
     results: Dict[str, Dict[int, np.ndarray]] = {}
     for vid in sorted(os.listdir(frames_root)):
@@ -79,8 +79,8 @@ def run_detection_pass(
         per_video: Dict[int, np.ndarray] = {}
         for i in range(0, len(files), batch_size):
             chunk = files[i : i + batch_size]
-            images = np.stack(
-                [_load_image(os.path.join(folder, f), image_size) for f in chunk]
+            images = load_images(
+                [os.path.join(folder, f) for f in chunk], image_size
             )
             dets = detector(images)
             for fname, det in zip(chunk, dets):

@@ -114,18 +114,14 @@ def assemble_episodes(
     all_samples = pd.concat(frames, ignore_index=True)
 
     if inverse_labeler is not None:
-        from .qlearning import _load_image
+        from .qlearning import load_images
 
         acts = []
         n = len(all_samples)
         for i in range(0, n, inverse_batch):
             rows = all_samples.iloc[i : i + inverse_batch]
-            before = np.stack(
-                [_load_image(p, image_size) for p in rows["before_image"]]
-            )
-            after = np.stack(
-                [_load_image(p, image_size) for p in rows["after_image"]]
-            )
+            before = load_images(rows["before_image"], image_size)
+            after = load_images(rows["after_image"], image_size)
             acts.append(np.asarray(inverse_labeler(before, after)))
         all_samples["inverse_actions"] = np.concatenate(acts).astype(np.int64)
     return all_samples

@@ -137,7 +137,7 @@ def run_filter_pass(
     label lists (score-sorted)."""
     import re
 
-    from .qlearning import _load_image
+    from .qlearning import load_images
 
     os.makedirs(out_dir, exist_ok=True)
     written = {}
@@ -156,8 +156,8 @@ def run_filter_pass(
         indoor_probs, person_flags = [], []
         for i in range(0, len(files), batch_size):
             chunk = files[i : i + batch_size]
-            images = np.stack(
-                [_load_image(os.path.join(folder, f), image_size) for f in chunk]
+            images = load_images(
+                [os.path.join(folder, f) for f in chunk], image_size
             )
             indoor_probs.extend(indoor_scorer(images).tolist())
             for labels in person_detector(images):

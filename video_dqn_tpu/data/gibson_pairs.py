@@ -20,7 +20,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from .qlearning import _load_image
+from .qlearning import load_images
 
 VALID_LABELS = sorted(["bed", "chair", "couch", "dining table", "toilet"])
 
@@ -80,8 +80,9 @@ class GibsonPairBatcher:
     def _load_state(self, loc: str) -> np.ndarray:
         base = os.path.join(self.image_root, str(loc))
         orientations = range(self.num_frames) if self.panorama else [0]
-        return np.stack(
-            [_load_image(os.path.join(base, f"{o}.jpg"), self.image_size) for o in orientations]
+        return load_images(
+            [os.path.join(base, f"{o}.jpg") for o in orientations],
+            self.image_size,
         )
 
     def get_batch(self, indices: Optional[np.ndarray] = None, batch_size: int = 128) -> Dict[str, np.ndarray]:

@@ -14,7 +14,7 @@ from typing import Iterator, Tuple
 
 import numpy as np
 
-from .qlearning import _load_image
+from .qlearning import load_images
 
 
 class ImageStream:
@@ -26,9 +26,8 @@ class ImageStream:
         return len(self.pairs)
 
     def __getitem__(self, i: int) -> Tuple[np.ndarray, ...]:
-        return tuple(
-            _load_image(p, self.image_size) for p in self.pairs[i]
-        )
+        # same decode backend as batches() so item and batch contents match
+        return tuple(load_images(self.pairs[i], self.image_size))
 
     def batches(self, batch_size: int = 8) -> Iterator[Tuple[np.ndarray, ...]]:
         """Yield tuples of (B, S, S, 3) uint8 stacks, one per column."""
@@ -36,6 +35,6 @@ class ImageStream:
         for i in range(0, len(self.pairs), batch_size):
             chunk = self.pairs[i : i + batch_size]
             yield tuple(
-                np.stack([_load_image(p, self.image_size) for p in chunk[:, c]])
+                load_images(chunk[:, c], self.image_size)
                 for c in range(n_cols)
             )

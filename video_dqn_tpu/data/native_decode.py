@@ -47,6 +47,12 @@ def _load():
         ]
         lib.decoder_next.restype = ctypes.c_int
         lib.decoder_close.argtypes = [ctypes.c_void_p]
+        lib.jpeg_batch_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+        ]
+        lib.jpeg_batch_decode.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
@@ -55,6 +61,35 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def jpeg_batch(
+    paths,
+    size: int,
+    n_threads: int = 0,
+) -> Tuple[np.ndarray, list]:
+    """Decode a batch of JPEG files to (N, size, size, 3) uint8 in ONE C
+    call (threaded; n_threads=0 uses all hardware threads). Each image is
+    DCT-scale decoded + smallest-edge bilinear resized + center cropped —
+    the same transform as qlearning._load_image (the PIL twin/oracle),
+    replacing the reference's per-image Python loader
+    (/root/reference/dataloaders/q_learning_real.py:19-24) with a batch
+    native stage. Returns (array, failed_indices); failed slots are
+    undefined and the caller must fall back (see QLearningBatcher)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libvdecode unavailable")
+    n = len(paths)
+    out = np.empty((n, size, size, 3), np.uint8)
+    failed = np.zeros(n, np.uint8)
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    lib.jpeg_batch_decode(
+        arr, n, int(size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        failed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(n_threads),
+    )
+    return out, np.flatnonzero(failed).tolist()
 
 
 def decode_frames(

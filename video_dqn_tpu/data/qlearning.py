@@ -46,6 +46,31 @@ def _load_image(path: str, size: int) -> np.ndarray:
         return np.asarray(im.crop((left, top, left + size, top + size)), np.uint8)
 
 
+def load_images(paths, size: int, native: Optional[bool] = None) -> np.ndarray:
+    """Batched decode: list of JPEG paths -> (N, size, size, 3) uint8.
+
+    Uses the native threaded batch stage (native/decode/jpeg.cc — one C
+    call for the whole batch, no per-image Python dispatch) when the
+    library is available, with the PIL twin `_load_image` as per-image
+    fallback for files the native decoder rejects (non-JPEG, progressive
+    variants, ...). native=False forces the PIL path (the test oracle);
+    native=None auto-detects."""
+    paths = list(paths)
+    if not paths:
+        return np.empty((0, size, size, 3), np.uint8)
+    if native is None or native:
+        from . import native_decode
+
+        if native_decode.available():
+            out, failed = native_decode.jpeg_batch(paths, size)
+            for i in failed:
+                out[i] = _load_image(paths[i], size)
+            return out
+        if native:
+            raise RuntimeError("native JPEG decode requested but unavailable")
+    return np.stack([_load_image(p, size) for p in paths])
+
+
 class QLearningBatcher:
     """Random-batch source over a quadruplet feather."""
 
@@ -120,31 +145,41 @@ class QLearningBatcher:
         ids = [max(im_id - i, start) for i in range(self.num_frames)]
         return [f"{prefix}{i:0{width}d}.jpg" for i in ids]
 
-    def _load_stack(self, path: str, start: int) -> np.ndarray:
+    def _stack_paths(self, path: str, start: int):
         if self.previous_images:
-            paths = self._history_paths(path, start)
-        else:
-            paths = [path]
-        return np.stack([self._image(p) for p in paths])
+            return self._history_paths(path, start)
+        return [path]
 
-    def _image(self, path: str) -> np.ndarray:
+    def _load_stack(self, path: str, start: int) -> np.ndarray:
+        return self._images(self._stack_paths(path, start))
+
+    def _images(self, paths) -> np.ndarray:
+        """(len(paths), S, S, 3) uint8 — ONE native batched decode call for
+        everything not already in the RAM cache."""
         if self._image_cache is None:
-            return _load_image(path, self.image_size)
-        out = self._image_cache.get(path)
-        if out is None:
-            out = _load_image(path, self.image_size)
-            self._image_cache[path] = out
-        return out
+            return load_images(paths, self.image_size)
+        missing = [p for p in dict.fromkeys(paths) if p not in self._image_cache]
+        if missing:
+            for p, img in zip(missing, load_images(missing, self.image_size)):
+                self._image_cache[p] = img
+        return np.stack([self._image_cache[p] for p in paths])
 
     def get_batch(self, indices: Optional[np.ndarray] = None, batch_size: int = 16) -> Dict[str, np.ndarray]:
         if indices is None:
             indices = self._rng.integers(0, self.n, batch_size)
-        before = np.stack(
-            [self._load_stack(self.cols["before_image"][i], self.cols["im_start"][i]) for i in indices]
-        )
-        after = np.stack(
-            [self._load_stack(self.cols["after_image"][i], self.cols["im_start"][i]) for i in indices]
-        )
+        # flatten every frame of the batch into ONE decode call (the
+        # native stage threads across images; per-image Python dispatch
+        # would serialize it)
+        paths = [
+            p
+            for col in ("before_image", "after_image")
+            for i in indices
+            for p in self._stack_paths(self.cols[col][i], self.cols["im_start"][i])
+        ]
+        imgs = self._images(paths)
+        b, f, s = len(indices), self.num_frames, self.image_size
+        imgs = imgs.reshape(2, b, f, s, s, 3)
+        before, after = imgs[0], imgs[1]
         return {
             "before": before,  # (B, F, S, S, 3) uint8
             "after": after,

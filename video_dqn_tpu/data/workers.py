@@ -3,12 +3,17 @@
 The reference hides decode latency behind 8 forked torch DataLoader
 workers (/root/reference/train_q_network.py:98); this is the equivalent
 stage for the TPU trainer: N processes each own a QLearningBatcher (the
-feather columns re-load per process; images decode with PIL), pull index
-blocks from a shared queue, and push finished uint8 batches to the parent,
-which hands them to core/prefetch.prefetch_to_device for the host->HBM
-double buffer. Decode throughput scales ~linearly with worker count up to
-the host's core count (this container has 1 core — production TPU-VM
-hosts have ~100+).
+feather columns re-load per process; images decode through the native
+batched jpeg stage when built, PIL otherwise), pull index blocks from a
+shared queue, and push finished uint8 batches to the parent, which hands
+them to core/prefetch.prefetch_to_device for the host->HBM double buffer.
+Decode throughput scales ~linearly with worker count up to the host's
+core count (this container has 1 core — production TPU-VM hosts have
+~100+). NOTE: with the native stage present, a single in-process batcher
+already threads the decode across all cores inside one C call
+(native/decode/jpeg.cc), so worker PROCESSES are only worth their IPC
+cost when the feather/LRU state is too big to share or decode must
+overlap non-decode host work.
 """
 
 from __future__ import annotations
