@@ -64,8 +64,16 @@ void on_jpeg_error(j_common_ptr cinfo) {
   longjmp(e->jb, 1);
 }
 
+// Per-thread scratch, reused across images: these buffers are past
+// glibc's mmap threshold, so fresh per-image vectors would mmap/munmap
+// (and page-fault) hundreds of KB per image — measured ~15x slower on
+// first batches until the allocator adapts. Reuse keeps capacity.
+struct Scratch {
+  std::vector<uint8_t> file, decoded, resized;
+};
+
 // decode one file; returns false on any failure
-bool decode_one(const char* path, int size, uint8_t* out) {
+bool decode_one(const char* path, int size, uint8_t* out, Scratch& scratch) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   fseek(f, 0, SEEK_END);
@@ -75,7 +83,8 @@ bool decode_one(const char* path, int size, uint8_t* out) {
     fclose(f);
     return false;
   }
-  std::vector<uint8_t> buf(len);
+  std::vector<uint8_t>& buf = scratch.file;
+  if ((long)buf.size() < len) buf.resize(len);
   size_t rd = fread(buf.data(), 1, len, f);
   fclose(f);
   if ((long)rd != len) return false;
@@ -84,7 +93,7 @@ bool decode_one(const char* path, int size, uint8_t* out) {
   JpegError jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = on_jpeg_error;
-  std::vector<uint8_t> decoded;
+  std::vector<uint8_t>& decoded = scratch.decoded;
   if (setjmp(jerr.jb)) {
     jpeg_destroy_decompress(&cinfo);
     return false;
@@ -115,7 +124,7 @@ bool decode_one(const char* path, int size, uint8_t* out) {
     jpeg_destroy_decompress(&cinfo);
     return false;
   }
-  decoded.resize((size_t)dw * dh * 3);
+  if (decoded.size() < (size_t)dw * dh * 3) decoded.resize((size_t)dw * dh * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     JSAMPROW row = decoded.data() + (size_t)cinfo.output_scanline * dw * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -129,7 +138,8 @@ bool decode_one(const char* path, int size, uint8_t* out) {
       sws_getContext(dw, dh, AV_PIX_FMT_RGB24, nw, nh, AV_PIX_FMT_RGB24,
                      SWS_BILINEAR, nullptr, nullptr, nullptr);
   if (!sws) return false;
-  std::vector<uint8_t> resized((size_t)nw * nh * 3);
+  std::vector<uint8_t>& resized = scratch.resized;
+  if (resized.size() < (size_t)nw * nh * 3) resized.resize((size_t)nw * nh * 3);
   const uint8_t* src[4] = {decoded.data(), nullptr, nullptr, nullptr};
   int src_stride[4] = {3 * dw, 0, 0, 0};
   uint8_t* dst[4] = {resized.data(), nullptr, nullptr, nullptr};
@@ -157,10 +167,12 @@ struct Job {
 
 void worker(Job* job) {
   const size_t stride = (size_t)job->size * job->size * 3;
+  Scratch scratch;
   while (true) {
     int i = job->next.fetch_add(1);
     if (i >= job->n) return;
-    bool ok = decode_one(job->paths[i], job->size, job->out + stride * i);
+    bool ok =
+        decode_one(job->paths[i], job->size, job->out + stride * i, scratch);
     job->failed[i] = ok ? 0 : 1;
     if (!ok) job->n_failed.fetch_add(1);
   }

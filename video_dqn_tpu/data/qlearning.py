@@ -54,10 +54,12 @@ def load_images(paths, size: int, native: Optional[bool] = None) -> np.ndarray:
     library is available, with the PIL twin `_load_image` as per-image
     fallback for files the native decoder rejects (non-JPEG, progressive
     variants, ...). native=False forces the PIL path (the test oracle);
-    native=None auto-detects."""
+    native=None auto-detects (overridable with VDQN_NATIVE_JPEG=0)."""
     paths = list(paths)
     if not paths:
         return np.empty((0, size, size, 3), np.uint8)
+    if native is None and os.environ.get("VDQN_NATIVE_JPEG", "1") == "0":
+        native = False
     if native is None or native:
         from . import native_decode
 
