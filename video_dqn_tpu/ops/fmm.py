@@ -87,7 +87,14 @@ def fmm_distance(
         neighborhood" query explores a band instead of the whole map;
       max_dist: stop the wavefront at this distance (cells beyond: +inf).
     """
-    mask = np.ascontiguousarray(traversible.astype(np.uint8))
+    # bool -> uint8 is a free reinterpret; the native solver temporarily
+    # flips goal cells in this buffer and restores them before returning
+    # (single-threaded contract), so sharing the caller's memory is safe
+    # and skips a 1.4MB copy per solve on the 1201x1201 eval grid.
+    if traversible.dtype == np.bool_ and traversible.flags.c_contiguous:
+        mask = traversible.view(np.uint8)
+    else:
+        mask = np.ascontiguousarray(traversible.astype(np.uint8))
     h, w = mask.shape
     gy = np.ascontiguousarray([g[0] for g in goals], np.int32)
     gx = np.ascontiguousarray([g[1] for g in goals], np.int32)
