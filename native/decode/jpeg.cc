@@ -124,7 +124,10 @@ bool decode_one(const char* path, int size, uint8_t* out, Scratch& scratch) {
     jpeg_destroy_decompress(&cinfo);
     return false;
   }
-  if (decoded.size() < (size_t)dw * dh * 3) decoded.resize((size_t)dw * dh * 3);
+  // +64: swscale reads source rows in SIMD-width chunks and may touch a
+  // few bytes past the last row
+  if (decoded.size() < (size_t)dw * dh * 3 + 64)
+    decoded.resize((size_t)dw * dh * 3 + 64);
   while (cinfo.output_scanline < cinfo.output_height) {
     JSAMPROW row = decoded.data() + (size_t)cinfo.output_scanline * dw * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -139,7 +142,9 @@ bool decode_one(const char* path, int size, uint8_t* out, Scratch& scratch) {
                      SWS_BILINEAR, nullptr, nullptr, nullptr);
   if (!sws) return false;
   std::vector<uint8_t>& resized = scratch.resized;
-  if (resized.size() < (size_t)nw * nh * 3) resized.resize((size_t)nw * nh * 3);
+  // +64: swscale SIMD paths may write whole vectors at row ends
+  if (resized.size() < (size_t)nw * nh * 3 + 64)
+    resized.resize((size_t)nw * nh * 3 + 64);
   const uint8_t* src[4] = {decoded.data(), nullptr, nullptr, nullptr};
   int src_stride[4] = {3 * dw, 0, 0, 0};
   uint8_t* dst[4] = {resized.data(), nullptr, nullptr, nullptr};

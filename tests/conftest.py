@@ -10,7 +10,18 @@ first jax.devices() call still selects the 8-device CPU platform.
 import os
 
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    # 8 virtual devices share this image's ONE physical core, so an XLA:CPU
+    # in-process collective (the train step's psum) can have participants
+    # starved past the rendezvous watchdog's short default, which then
+    # LOG(FATAL)s and aborts the whole test run from an Eigen worker
+    # (diagnosed from a core dump: AllReduceThunk::Execute ->
+    # Rendezvous -> absl LogMessage::SendToLog -> abort). The stall is
+    # transient scheduler starvation, not deadlock — give it time instead
+    # of dying.
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=86400"
 ).strip()
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ["JAX_PLATFORMS"] = "cpu"

@@ -91,7 +91,11 @@ def fmm_distance(
     # flips goal cells in this buffer and restores them before returning
     # (single-threaded contract), so sharing the caller's memory is safe
     # and skips a 1.4MB copy per solve on the 1201x1201 eval grid.
-    if traversible.dtype == np.bool_ and traversible.flags.c_contiguous:
+    if (
+        traversible.dtype == np.bool_
+        and traversible.flags.c_contiguous
+        and traversible.flags.writeable
+    ):
         mask = traversible.view(np.uint8)
     else:
         mask = np.ascontiguousarray(traversible.astype(np.uint8))
