@@ -273,3 +273,25 @@ def test_fmm_goal_on_obstacle_bounded():
                          early_stop=(15, 20), margin=2.0)
         assert d[15, 15] == 0.0
         assert np.isfinite(d[15, 20])
+
+
+def test_fmm_leaves_caller_mask_unchanged():
+    """The native solver flips goal cells traversible IN the caller's
+    buffer (zero-copy bool view) and must restore them before returning —
+    the planner passes its cached opened grids directly."""
+    mask = np.ones((31, 31), bool)
+    mask[10:20, 14] = False
+    mask[15, 15] = False  # goal on an obstacle
+    snapshot = mask.copy()
+    assert mask.flags.c_contiguous and mask.flags.writeable
+    fmm_distance(mask, [(15, 15)], engine="native")
+    np.testing.assert_array_equal(mask, snapshot)
+    # duplicate goals (same cell twice) must also restore cleanly
+    fmm_distance(mask, [(15, 15), (15, 15)], engine="native")
+    np.testing.assert_array_equal(mask, snapshot)
+    # read-only input takes the copy path and still solves
+    ro = snapshot.copy()
+    ro.setflags(write=False)
+    d = fmm_distance(ro, [(15, 15)], engine="native")
+    assert d[15, 15] == 0.0
+    np.testing.assert_array_equal(ro, snapshot)
