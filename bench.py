@@ -124,6 +124,15 @@ def main():
                 "value": round(fps_per_chip, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": vs,
+                # vs_baseline is a CROSS-HARDWARE ratio: the reference's CUDA
+                # GPU is unavailable here, so the denominator is the same
+                # algorithm in torch on this host's 1-core CPU (BASELINE.md).
+                # A reference-era consumer GPU runs ~100-300 f/s on this
+                # workload; vs_ref_gpu_est uses the midpoint of that range.
+                "baseline_kind": "torch_cpu_1core",
+                "vs_ref_gpu_est": (
+                    round(fps_per_chip / 200.0, 1) if fps_per_chip else None
+                ),
                 "mfu": mfu,
                 "flops_per_step": flops_per_step,
             }

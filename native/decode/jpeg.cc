@@ -33,6 +33,7 @@ extern "C" {
 }
 
 #include <atomic>
+#include <cmath>
 #include <csetjmp>
 #include <cstdint>
 #include <cstring>
@@ -42,14 +43,18 @@ extern "C" {
 namespace {
 
 // Smallest-edge resize target, identical to _load_image's PIL math.
+// nearbyint under the default FE_TONEAREST mode rounds half-to-even,
+// matching Python round() in the oracle — half-up would differ by 1px at
+// exact .5 scale ratios, giving mixed native/PIL-fallback batches
+// inconsistent crop geometry.
 void resize_dims(int w, int h, int size, int* nw, int* nh) {
   if (h <= w) {
     *nh = size;
-    int t = (int)(0.5 + (double)size * w / h);
+    int t = (int)nearbyint((double)size * w / h);
     *nw = t > size ? t : size;
   } else {
     *nw = size;
-    int t = (int)(0.5 + (double)size * h / w);
+    int t = (int)nearbyint((double)size * h / w);
     *nh = t > size ? t : size;
   }
 }

@@ -200,6 +200,26 @@ def test_stair_rejection_undo(ramp_envs):
     assert env.pos[2] < 1.5                 # stuck near the ramp base
 
 
+def test_nav_grid_build_and_step_warning_free():
+    """Columns with no floor (outside the maze walls / over void) produce
+    NaN probe slots from the native peeling probe; the env must handle them
+    as explicit +inf sentinels, never via warning-raising NaN comparisons
+    (round-2 weak finding: RuntimeWarning in the product loop)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        env = MeshNavEnv(mesh=maze_mesh(SMALL_MAZE), image_size=24, seed=3)
+        pos, ang = env.sample_start_state(0)
+        env.set_agent_state(pos, ang)
+        for a in (0, 1, 0, 2, 0, 0):  # forward probes hit no-floor columns
+            env.step(a)
+        # direct probe of a column that has no walkable surface at all
+        ys, oks, cnt = env._probe_levels(np.array([[-50.0, -50.0]]))
+        assert np.isfinite(ys[oks]).all()
+        assert not np.isnan(ys).any()
+
+
 def test_stairs_allowed_climbs(ramp_envs):
     _, env = ramp_envs
     x_ramp = 12 * 0.5 - 0.4

@@ -30,10 +30,21 @@ def _load():
         return _lib
     _tried = True
     try:
-        if not os.path.exists(_LIB):
-            subprocess.run(["make", "-s"], cwd=_DIR, check=True,
-                           capture_output=True)
-        lib = ctypes.CDLL(_LIB)
+        # First-use build + load under an exclusive file lock: N decode
+        # worker processes forked simultaneously must not race `make` (a
+        # worker dlopening a partially linked .so would silently fall back
+        # to PIL, making pixel content backend-dependent per worker).
+        import fcntl
+
+        with open(os.path.join(_DIR, ".build.lock"), "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                if not os.path.exists(_LIB):
+                    subprocess.run(["make", "-s"], cwd=_DIR, check=True,
+                                   capture_output=True)
+                lib = ctypes.CDLL(_LIB)
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
         lib.decoder_open.argtypes = [
             ctypes.c_char_p, ctypes.c_double, ctypes.c_int, ctypes.c_int
         ]
@@ -66,10 +77,13 @@ def available() -> bool:
 def jpeg_batch(
     paths,
     size: int,
-    n_threads: int = 0,
+    n_threads: Optional[int] = None,
 ) -> Tuple[np.ndarray, list]:
     """Decode a batch of JPEG files to (N, size, size, 3) uint8 in ONE C
-    call (threaded; n_threads=0 uses all hardware threads). Each image is
+    call (threaded; n_threads=0 uses all hardware threads; the default
+    reads VDQN_JPEG_THREADS — decode worker PROCESSES set it to
+    cores/num_workers so process- and thread-level parallelism compose
+    instead of multiplying, see data/workers.py). Each image is
     DCT-scale decoded + smallest-edge bilinear resized + center cropped —
     the same transform as qlearning._load_image (the PIL twin/oracle),
     replacing the reference's per-image Python loader
@@ -79,6 +93,8 @@ def jpeg_batch(
     lib = _load()
     if lib is None:
         raise RuntimeError("libvdecode unavailable")
+    if n_threads is None:
+        n_threads = int(os.environ.get("VDQN_JPEG_THREADS", "0"))
     n = len(paths)
     out = np.empty((n, size, size, 3), np.uint8)
     failed = np.zeros(n, np.uint8)

@@ -157,9 +157,15 @@ class QLearningBatcher:
 
     def _images(self, paths) -> np.ndarray:
         """(len(paths), S, S, 3) uint8 — ONE native batched decode call for
-        everything not already in the RAM cache."""
+        everything not already in the RAM cache. Duplicate paths (random
+        sampling of small datasets; previous_images history clamped at
+        im_start repeats a frame up to 4x per stack) decode once."""
         if self._image_cache is None:
-            return load_images(paths, self.image_size)
+            uniq = list(dict.fromkeys(paths))
+            if len(uniq) == len(paths):
+                return load_images(paths, self.image_size)
+            decoded = dict(zip(uniq, load_images(uniq, self.image_size)))
+            return np.stack([decoded[p] for p in paths])
         missing = [p for p in dict.fromkeys(paths) if p not in self._image_cache]
         if missing:
             for p, img in zip(missing, load_images(missing, self.image_size)):

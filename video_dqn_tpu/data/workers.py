@@ -34,7 +34,13 @@ def _worker_init(batcher_kwargs: Dict):
     _WORKER_BATCHER = QLearningBatcher(**batcher_kwargs)
 
 
-def _worker_loop(batcher_kwargs, index_q, out_q, stop):
+def _worker_loop(batcher_kwargs, index_q, out_q, stop, jpeg_threads):
+    # each worker PROCESS limits its native jpeg THREAD pool so W workers
+    # don't each spawn all-cores pools (W-fold oversubscription of the
+    # decode stage on multi-core hosts)
+    import os
+
+    os.environ["VDQN_JPEG_THREADS"] = str(jpeg_threads)
     _worker_init(batcher_kwargs)
     while not stop.is_set():
         try:
@@ -71,20 +77,30 @@ def parallel_batches(
     classic fork-after-accelerator-init hazard (torch DataLoader forks
     before CUDA init for the same reason). Call this before any device
     work (run_train does)."""
+    import os
+
+    from video_dqn_tpu.data import native_decode
     from video_dqn_tpu.data.qlearning import QLearningBatcher
+
+    # build/load the native decode library ONCE in the parent before
+    # forking: concurrent first-use builds in N children raced `make`
+    # (the flock in native_decode._load is the second line of defense)
+    native_decode.available()
 
     # index stream comes from the parent (one RNG, deterministic)
     probe = QLearningBatcher(**batcher_kwargs)
     n = len(probe)
     del probe
 
+    jpeg_threads = max(1, (os.cpu_count() or 1) // max(1, num_workers))
     ctx = mp.get_context("fork")
     index_q = ctx.Queue(maxsize=queue_depth * max(1, num_workers))
     out_q = ctx.Queue(maxsize=queue_depth * max(1, num_workers))
     stop = ctx.Event()
     procs = [
         ctx.Process(target=_worker_loop,
-                    args=(batcher_kwargs, index_q, out_q, stop), daemon=True)
+                    args=(batcher_kwargs, index_q, out_q, stop, jpeg_threads),
+                    daemon=True)
         for _ in range(num_workers)
     ]
     for p in procs:

@@ -91,10 +91,16 @@ def fmm_distance(
     # flips goal cells in this buffer and restores them before returning
     # (single-threaded contract), so sharing the caller's memory is safe
     # and skips a 1.4MB copy per solve on the 1201x1201 eval grid.
+    # NON-REENTRANT by design: concurrent solves over the SAME grid (e.g.
+    # a future thread-parallel batched eval sharing plan/mapper's
+    # opened-grid cache) would observe each other's mid-solve goal flips.
+    # Set VDQN_FMM_FORCE_COPY=1 to force the copy path when diagnosing a
+    # suspected aliasing/reentrancy bug.
     if (
         traversible.dtype == np.bool_
         and traversible.flags.c_contiguous
         and traversible.flags.writeable
+        and os.environ.get("VDQN_FMM_FORCE_COPY", "0") != "1"
     ):
         mask = traversible.view(np.uint8)
     else:

@@ -110,9 +110,15 @@ class MeshNavEnv:
 
     # -- navigability -----------------------------------------------------
     def _probe_levels(self, xz: np.ndarray):
-        return self.mesh.floor_levels(
+        ys, oks, cnt = self.mesh.floor_levels(
             xz, self._y_top, self._y_min, self.agent_height, max_levels=8
         )
+        # Probe slots beyond each column's hit count come back NaN from the
+        # native peeling probe. NaN comparisons are silently False (which was
+        # correct) but raise RuntimeWarning in the product loop — make the
+        # missing-slot semantics explicit with +inf sentinels, which every
+        # consumer's |ys - h| <= tol band test rejects without warnings.
+        return np.where(np.isnan(ys), np.inf, ys), oks, cnt
 
     def _build_nav_grids(self, num_floors, floor_samples) -> None:
         """Infer floor heights (reference habitat_test_env.py:94-97: Counter
