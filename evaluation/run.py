@@ -95,7 +95,7 @@ def main():
         import jax
 
         from video_dqn_tpu.core.experiment import ExperimentConfig
-        from video_dqn_tpu.eval import load_eval_model
+        from video_dqn_tpu.eval import build_detector_from_config, load_eval_model
         from video_dqn_tpu.eval.batched_runner import (
             make_multiclass_scorer,
             run_policy_batched,
@@ -112,6 +112,7 @@ def main():
             env_factory=lambda h, c: kwargs["env_factory"](h, mc, c),
             house_factory=kwargs["house_factory"],
             scorer=scorer, class_index_of=True,
+            detector=build_detector_from_config(config),
             max_concurrent=int(args.batched), debug=args.debug,
         )
     else:

@@ -139,6 +139,60 @@ def test_batched_matches_sequential_reasoning_candidates():
         assert spl >= 0
 
 
+def test_detector_from_config_construction():
+    """COMBINE_DETECTOR builds the detector FROM CONFIG (the reference's
+    in-policy predictor construction, evaluate.py:97-100): 'stub' gives the
+    deterministic test detector, empty weights fail loudly, and no detector
+    mode gives None."""
+    from video_dqn_tpu.data.detect import StubDetector
+    from video_dqn_tpu.eval import build_detector_from_config
+
+    assert build_detector_from_config(eval_cfg()) is None
+    det = build_detector_from_config(
+        eval_cfg(COMBINE_DETECTOR=True, DETECTOR_WEIGHTS="stub"))
+    assert isinstance(det, StubDetector)
+    # the constructed detector honors the eval-fusion call contract
+    img = np.zeros((64, 64, 3), np.uint8)
+    boxes, scores = det(img, "toilet")
+    assert boxes.shape[1:] == (4,) and len(boxes) == len(scores)
+    with pytest.raises(ValueError, match="DETECTOR_WEIGHTS"):
+        build_detector_from_config(eval_cfg(COMBINE_DETECTOR=True))
+    with pytest.raises(ValueError, match="DETECTOR_WEIGHTS"):
+        build_detector_from_config(eval_cfg(SCORE="detector"))
+
+
+def test_run_policy_combine_detector_from_config(tmp_path, monkeypatch):
+    """An eval run with COMBINE_DETECTOR: True + DETECTOR_WEIGHTS: 'stub'
+    exercises fuse_detector_scores through run_policy with ZERO code
+    injection (round-2 gap: the fusion math existed but no product surface
+    could construct a detector)."""
+    import video_dqn_tpu.eval.evaluate as ev
+
+    calls = []
+    real_fuse = ev.fuse_detector_scores
+
+    def counting_fuse(*a, **k):
+        calls.append(1)
+        return real_fuse(*a, **k)
+
+    monkeypatch.setattr(ev, "fuse_detector_scores", counting_fuse)
+
+    env, house, ep = make_env_and_episode()
+    cfg = eval_cfg(SLAM=True, SEED=1, COMBINE_DETECTOR=True,
+                   DETECTOR_WEIGHTS="stub", CONFIDENCE_THRESHOLD=0.5,
+                   RESULT_LOCATION=str(tmp_path / "results"))
+    run_policy(
+        cfg,
+        episodes=np.array([ep], dtype=object),
+        env_factory=lambda h, mc, c: make_env_and_episode()[0],
+        house_factory=lambda name: house,
+        scorer_factory=lambda e, ci: make_geodesic_scorer(e),
+        visualize_every=1000,
+    )
+    assert calls, "fuse_detector_scores never ran with COMBINE_DETECTOR on"
+    assert display_results(cfg, quiet=True) is not None
+
+
 def test_infinite_fmm_waypoint_skipped():
     """A selected waypoint whose FMM distance is inf (cell disconnected in
     the current map) must be skipped, not crash the step-budget ceil

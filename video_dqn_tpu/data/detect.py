@@ -102,7 +102,16 @@ class StubDetector:
         self.hit_rate = hit_rate
         self.seed = seed
 
-    def __call__(self, images) -> List[Dict]:
+    def __call__(self, images, class_label: str = None) -> List[Dict]:
+        if class_label is not None:
+            # eval-fusion contract (one image, one class -> boxes, scores;
+            # reference evaluate.py:117-134 / models/detector/inference.py)
+            det = self._detect([np.asarray(images)])[0]
+            mask = det["classes"] == COCO_TARGET_IDS[class_label]
+            return det["boxes"][mask], det["scores"][mask]
+        return self._detect(np.asarray(images))
+
+    def _detect(self, images) -> List[Dict]:
         out = []
         for im in np.asarray(images):
             h = int(np.asarray(im, np.uint64).sum() + self.seed) % (2**32)

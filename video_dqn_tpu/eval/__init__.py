@@ -6,7 +6,7 @@ from .evaluate import (
     make_model_scorer,
     ours_evaluate,
 )
-from .runner import load_eval_model, run_policy
+from .runner import build_detector_from_config, load_eval_model, run_policy
 from .results import display_results
 
 __all__ = [
@@ -18,6 +18,7 @@ __all__ = [
     "make_geodesic_scorer",
     "make_model_scorer",
     "ours_evaluate",
+    "build_detector_from_config",
     "load_eval_model",
     "run_policy",
     "display_results",

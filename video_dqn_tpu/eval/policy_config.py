@@ -69,6 +69,14 @@ def get_eval_defaults() -> ConfigNode:
             "MODEL_CONFIG": get_cfg_defaults(),
             # ---- TPU-native additions ----
             "BATCHED_REASONING": True,
+            # Detector construction for COMBINE_DETECTOR / SCORE=='detector':
+            # the reference builds its detectron2 predictor from a vendored
+            # config with model-zoo weights inside the policy
+            # (evaluate.py:34-38,97-100); with no model zoo here, the
+            # weights file is an explicit config key — a Mask R-CNN
+            # checkpoint accepted by models/detector/inference.load_detector,
+            # or the literal 'stub' for the deterministic test detector.
+            "DETECTOR_WEIGHTS": "",
         }
     )
 

@@ -61,6 +61,33 @@ def load_eval_model(config, model_config):
     return model, params, batch_stats
 
 
+def build_detector_from_config(config):
+    """Construct the fusion detector from the eval config — the in-policy
+    equivalent of the reference's detectron2 DefaultPredictor construction
+    when COMBINE_DETECTOR or SCORE=='detector' is set
+    (/root/reference/evaluation/evaluate.py:34-38,97-100; built once here
+    and reused across episodes rather than per-episode — same predictor
+    every time). Returns None when no detector mode is on; fails loudly
+    when one is on but DETECTOR_WEIGHTS is unset."""
+    if not (config.COMBINE_DETECTOR or config.SCORE == "detector"):
+        return None
+    weights = config.DETECTOR_WEIGHTS if "DETECTOR_WEIGHTS" in config else ""
+    if not weights:
+        raise ValueError(
+            "COMBINE_DETECTOR/SCORE=='detector' needs DETECTOR_WEIGHTS in "
+            "the eval config: a Mask R-CNN checkpoint path (convert the "
+            "published detectron2 weights with scripts/convert_weights.py) "
+            "or 'stub' for the deterministic test detector"
+        )
+    if weights == "stub":
+        from video_dqn_tpu.data.detect import StubDetector
+
+        return StubDetector()
+    from video_dqn_tpu.models.detector.inference import load_detector
+
+    return load_detector(weights)
+
+
 def run_policy(
     config,
     episodes: Optional[np.ndarray] = None,
@@ -85,6 +112,9 @@ def run_policy(
                        the jitted batched Q scorer from the loaded model
     """
     np.random.seed(config.SEED)
+
+    if detector is None:
+        detector = build_detector_from_config(config)
 
     log_folder = os.path.join(config.RESULT_LOCATION, name_from_config(config))
     logger = DiskLogger(log_folder, checkpoint_time=60 * 30)
