@@ -21,6 +21,8 @@ def main():
                         help="use the synthetic stub detector")
     parser.add_argument("--weights", default="",
                         help="torch detector checkpoint to convert")
+    parser.add_argument("--image-size", type=int, default=224,
+                        help="detector input resolution")
     args = parser.parse_args()
 
     from video_dqn_tpu.data.detect import StubDetector, run_detection_pass
@@ -37,7 +39,7 @@ def main():
     out = os.path.join(args.location, "frames", "real_detections_raw.npy")
     results = run_detection_pass(
         os.path.join(args.location, "frames"), detector, out_path=out,
-        batch_size=args.batch,
+        batch_size=args.batch, image_size=args.image_size,
     )
     print(f"detected over {len(results)} videos -> {out}")
 

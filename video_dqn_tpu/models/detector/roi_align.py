@@ -75,7 +75,7 @@ def roi_align(
     return jax.vmap(one)(rois)
 
 
-@partial(jax.jit, static_argnums=(3, 4))
+@partial(jax.jit, static_argnums=(2, 3, 4))
 def multilevel_roi_align(feats, rois, strides, out_size: int = 7,
                          sampling_ratio: int = 2,
                          canonical_level: int = 2, canonical_size: float = 224.0):
