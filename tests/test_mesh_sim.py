@@ -401,3 +401,127 @@ def test_clone_shares_geometry_but_not_state(maze_env):
     assert env.goals != c.goals
     c.step(0)
     assert np.allclose(env.pos, [1.25, 0.0, 1.25])  # original untouched
+
+
+# ---- foreign GLB fixtures (NOT produced by this repo's writer) -------------
+
+def _build_glb(doc: dict, bin_bytes: bytes) -> bytes:
+    """Pack a spec-conformant GLB: header + padded JSON chunk + BIN chunk."""
+    import json
+    import struct
+
+    js = json.dumps(doc).encode()
+    js += b" " * ((-len(js)) % 4)
+    bb = bin_bytes + b"\x00" * ((-len(bin_bytes)) % 4)
+    total = 12 + 8 + len(js) + 8 + len(bb)
+    out = struct.pack("<4sII", b"glTF", 2, total)
+    out += struct.pack("<I4s", len(js), b"JSON") + js
+    out += struct.pack("<I4s", len(bb), b"BIN\x00") + bb
+    return out
+
+
+def test_read_glb_foreign_layouts(tmp_path):
+    """Spec features our writer never emits (round-2 weak item 4: the GLB
+    reader was only oracled against write_glb): interleaved byteStride
+    views, uint16 indices, a TRS node hierarchy, mixed COLOR_0
+    present/absent, and a non-indexed primitive — all hand-crafted, with
+    expected vertices computed from the spec's T*R*S transform."""
+    from video_dqn_tpu.sim.ply import read_glb
+
+    pos1 = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    col1 = np.array([[65535, 0, 0], [0, 65535, 0], [0, 0, 65535],
+                     [65535, 65535, 0]], np.uint16)
+    idx1 = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    pos2 = np.array([[2, 0, 0], [3, 0, 0], [2, 1, 0]], np.float32)
+
+    # view0: interleaved pos(12B) + color(6B) + 2B pad -> stride 20
+    inter = b""
+    for p, c in zip(pos1, col1):
+        inter += p.tobytes() + c.tobytes() + b"\x00\x00"
+    off_idx = len(inter)
+    binb = inter + idx1.tobytes()
+    binb += b"\x00" * ((-len(binb)) % 4)
+    off_pos2 = len(binb)
+    binb += pos2.tobytes()
+
+    s2 = float(np.sqrt(0.5))
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [
+            {"translation": [1.0, 0.0, 0.0], "children": [1]},
+            # 90 deg about +Y, scale x2 in x — TRS composition order T*R*S
+            {"rotation": [0.0, s2, 0.0, s2], "scale": [2.0, 1.0, 1.0],
+             "mesh": 0},
+        ],
+        "meshes": [{"primitives": [
+            {"attributes": {"POSITION": 0, "COLOR_0": 1}, "indices": 2},
+            {"attributes": {"POSITION": 3}},  # non-indexed, no color
+        ]}],
+        "buffers": [{"byteLength": len(binb)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": len(inter),
+             "byteStride": 20},
+            {"buffer": 0, "byteOffset": off_idx, "byteLength": idx1.nbytes},
+            {"buffer": 0, "byteOffset": off_pos2, "byteLength": pos2.nbytes},
+        ],
+        "accessors": [
+            {"bufferView": 0, "byteOffset": 0, "componentType": 5126,
+             "count": 4, "type": "VEC3"},
+            {"bufferView": 0, "byteOffset": 12, "componentType": 5123,
+             "count": 4, "type": "VEC3", "normalized": True},
+            {"bufferView": 1, "componentType": 5123, "count": 6,
+             "type": "SCALAR"},
+            {"bufferView": 2, "componentType": 5126, "count": 3,
+             "type": "VEC3"},
+        ],
+    }
+    p = tmp_path / "foreign.glb"
+    p.write_bytes(_build_glb(doc, binb))
+    verts, faces, colors = read_glb(str(p))
+
+    # expected: M = T(1,0,0) . R(90 about y) . S(2,1,1)
+    rot = np.array([[0, 0, 1], [0, 1, 0], [-1, 0, 0]], np.float64)
+    m3 = rot @ np.diag([2.0, 1.0, 1.0])
+    t = np.array([1.0, 0.0, 0.0])
+    want = np.concatenate([pos1 @ m3.T + t, pos2 @ m3.T + t]).astype(np.float32)
+    assert verts.shape == (7, 3)
+    np.testing.assert_allclose(verts, want, atol=1e-5)
+    np.testing.assert_array_equal(
+        faces, np.concatenate([idx1.reshape(-1, 3),
+                               np.arange(3).reshape(1, 3) + 4]))
+    assert colors is None  # mixed presence -> no color channel
+
+
+def test_read_glb_unsupported_fail_loudly(tmp_path):
+    from video_dqn_tpu.sim.ply import read_glb
+
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    base = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "buffers": [{"byteLength": pos.nbytes}],
+        "bufferViews": [{"buffer": 0, "byteOffset": 0,
+                         "byteLength": pos.nbytes}],
+        "accessors": [{"bufferView": 0, "componentType": 5126, "count": 3,
+                       "type": "VEC3"}],
+    }
+    # sparse accessor
+    doc = {**base, "meshes": [{"primitives": [{"attributes": {"POSITION": 0}}]}]}
+    doc["accessors"] = [dict(base["accessors"][0],
+                             sparse={"count": 1, "indices": {}, "values": {}})]
+    p = tmp_path / "sparse.glb"
+    p.write_bytes(_build_glb(doc, pos.tobytes()))
+    with pytest.raises(NotImplementedError, match="sparse"):
+        read_glb(str(p))
+    # draco-compressed primitive
+    doc = {**base, "meshes": [{"primitives": [
+        {"attributes": {"POSITION": 0},
+         "extensions": {"KHR_draco_mesh_compression": {"bufferView": 0}}}]}]}
+    p = tmp_path / "draco.glb"
+    p.write_bytes(_build_glb(doc, pos.tobytes()))
+    with pytest.raises(NotImplementedError, match="Draco"):
+        read_glb(str(p))

@@ -243,6 +243,10 @@ def read_glb(path: str) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
 
     def accessor(idx):
         acc = doc["accessors"][idx]
+        if "sparse" in acc:
+            # silently reading the base buffer would return wrong geometry
+            raise NotImplementedError(
+                "glTF sparse accessors are not supported")
         view = doc["bufferViews"][acc["bufferView"]]
         dtype = _GLTF_DTYPES[acc["componentType"]]
         ncomp = _GLTF_SIZES[acc["type"]]
@@ -293,6 +297,10 @@ def read_glb(path: str) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
             continue
         mesh = doc["meshes"][node["mesh"]]
         for prim in mesh["primitives"]:
+            if "KHR_draco_mesh_compression" in prim.get("extensions", {}):
+                raise NotImplementedError(
+                    "Draco-compressed GLB is not supported; decompress the "
+                    "scene first (e.g. gltf-transform decompress)")
             if prim.get("mode", 4) != 4:  # triangles only
                 continue
             pos = accessor(prim["attributes"]["POSITION"]).astype(np.float64)
