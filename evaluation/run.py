@@ -32,6 +32,10 @@ def main():
                         help="run against the mesh backend (extruded maze)")
     parser.add_argument("--mesh-scene", default=None,
                         help="PLY/OBJ scene file for the mesh backend")
+    parser.add_argument("--furnished-env", action="store_true",
+                        help="workload runs on the furnished two-floor "
+                             "house with real class-object goals (the "
+                             "learning loop's training domain)")
     parser.add_argument("--workload", default=None,
                         help="run N generated episodes (product workload)")
     parser.add_argument("--batched", default=None, type=int, metavar="N",
@@ -59,10 +63,16 @@ def main():
         # product workload: N generated episodes through the full harness
         from video_dqn_tpu.eval.fixtures import make_episode_set
 
-        backend = "mesh" if (args.mesh_env or args.mesh_scene) else "fake"
+        backend = ("furnished" if args.furnished_env
+                   else "mesh" if (args.mesh_env or args.mesh_scene)
+                   else "fake")
+        size = 48
+        if config.SCORE == "model" and config.MODEL_CONFIG_LOCATION:
+            # render at the model's training resolution
+            size = int(config.MODEL_CONFIG.TPU.IMAGE_SIZE)
         episodes, env_factory, house_factory = make_episode_set(
-            int(args.workload), backend=backend, mesh_path=args.mesh_scene,
-            fresh_envs=bool(args.batched))
+            int(args.workload), backend=backend, size=size,
+            mesh_path=args.mesh_scene, fresh_envs=bool(args.batched))
         kwargs = {"env_factory": env_factory, "house_factory": house_factory}
     elif args.mesh_env or args.mesh_scene:
         # mesh simulator backend (real-scene path; procedural maze without
@@ -106,7 +116,9 @@ def main():
                               tensorboard=False)
         model, params, batch_stats = load_eval_model(config, mc)
         mesh = make_mesh(len(jax.devices()), 1) if len(jax.devices()) > 1 else None
-        scorer = make_multiclass_scorer(model, params, batch_stats, mesh=mesh)
+        scorer = make_multiclass_scorer(
+            model, params, batch_stats, mesh=mesh,
+            image_size=int(mc.TPU.IMAGE_SIZE))
         run_policy_batched(
             config, episodes,
             env_factory=lambda h, c: kwargs["env_factory"](h, mc, c),

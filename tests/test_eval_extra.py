@@ -139,3 +139,42 @@ def test_disk_reader_skips_torn_shard(tmp_path):
         f.write(b"\x93NUMPY garbage")
     data = DiskReader(folder).data()
     assert data == {0: 0.5}
+
+
+def test_furnished_workload_backend(tmp_path):
+    """make_episode_set(backend='furnished'): episodes carry real
+    (floor, class) pairs with goals at the house's own objects, and the
+    full harness scores them — the in-distribution workload surface for
+    model-scored runs (evaluation/run.py --workload N --furnished-env)."""
+    import numpy as np
+
+    from video_dqn_tpu.eval import display_results, run_policy
+    from video_dqn_tpu.eval.fixtures import make_episode_set
+    from video_dqn_tpu.eval.policy_config import get_eval_defaults
+    from video_dqn_tpu.sim.native_mesh import available
+
+    if not available():
+        import pytest
+
+        pytest.skip("libsimcore missing")
+
+    episodes, env_factory, house_factory = make_episode_set(
+        3, backend="furnished", size=32, seed=5)
+    assert len(episodes) == 3
+    assert all(ep[0] == "FurnishedHouse" for ep in episodes)
+    assert {ep[1] for ep in episodes} <= {0, 1}
+    assert all(np.isfinite(float(ep[3])) and float(ep[3]) > 1.5
+               for ep in episodes)
+
+    cfg = get_eval_defaults()
+    cfg.SLAM = True
+    cfg.SEED = 1
+    cfg.RESULT_LOCATION = str(tmp_path / "results")
+    run_policy(cfg, episodes=episodes[:1], env_factory=env_factory,
+               house_factory=house_factory,
+               scorer_factory=lambda e, ci: __import__(
+                   "video_dqn_tpu.eval.evaluate", fromlist=["x"]
+               ).make_geodesic_scorer(e),
+               visualize_every=1000)
+    mean = display_results(cfg, quiet=True)
+    assert mean is not None and 0 <= mean <= 1

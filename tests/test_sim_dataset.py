@@ -66,3 +66,33 @@ def test_batcher_loads_with_value_learning_and_cache(sim_ds):
     b.get_batch(indices=np.arange(8))
     b.get_batch(indices=np.arange(8))
     assert len(b._image_cache) >= n_cached
+
+
+def test_generate_inverse_pairs_roundtrip(tmp_path):
+    """generate_inverse_pairs emits the exact 22-column npy + state-image
+    layout GibsonPairBatcher consumes (the inverse-model training data the
+    reference ships only as opaque artifacts,
+    /root/reference/train_inverse_model.py:183-185)."""
+    from video_dqn_tpu.data.gibson_pairs import GibsonPairBatcher
+    from video_dqn_tpu.data.sim_dataset import generate_inverse_pairs
+
+    env, _ = make_furnished_house(size_px=24, seed=0)
+    train_p, val_p, image_root = generate_inverse_pairs(
+        env, str(tmp_path), n_walks=2, steps_per_walk=25, seed=0,
+    )
+    arr = np.load(train_p, allow_pickle=True)
+    assert arr.shape[1] == 22
+    b = GibsonPairBatcher(train_p, image_root=image_root, image_size=24)
+    assert len(b) > 20
+    assert set(np.unique(b.action)) <= {0, 1, 2}
+    # turns AND forwards present (forward-biased walk)
+    assert (b.action == 0).sum() > 0 and (b.action > 0).sum() > 0
+    batch = b.get_batch(batch_size=6)
+    assert batch["before"].shape == (6, 1, 24, 24, 3)
+    assert batch["after"].shape == (6, 1, 24, 24, 3)
+    # no reward rows by construction (min_dists are +inf)
+    assert batch["reward"].sum() == 0
+    # turn pairs: before != after pixels (the signal the model learns)
+    turn = np.flatnonzero(b.action > 0)[:1]
+    tb = b.get_batch(indices=turn)
+    assert (tb["before"] != tb["after"]).any()

@@ -131,3 +131,71 @@ def generate_sim_dataset(
     out = os.path.join(out_root, "data.feather")
     write_feather(df, out)
     return out
+
+
+def generate_inverse_pairs(
+    env,
+    out_root: str,
+    n_walks: int = 6,
+    steps_per_walk: int = 120,
+    seed: int = 0,
+    val_fraction: float = 0.2,
+):
+    """Single-step (before, after, action) state pairs from simulator
+    walks, in the exact 22-column object-npy format GibsonPairBatcher
+    consumes — the generator for the inverse-model training data the
+    reference ships only as opaque artifacts
+    (/root/reference/train_inverse_model.py:183-185,
+    /root/reference/dataloaders/gibson.py:24-76).
+
+    State images land at <out_root>/states/<loc>/0.jpg (the batcher's
+    non-panorama layout); angles are stored as y-axis quaternions; the
+    min_dists columns are +inf (inverse training consumes only the action
+    label — reward columns exist for schema parity).
+
+    Returns (train_npy_path, val_npy_path, image_root)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    image_root = os.path.join(out_root, "states")
+    os.makedirs(image_root, exist_ok=True)
+
+    def quat(a: float):
+        return [np.cos(a / 2), 0.0, np.sin(a / 2), 0.0]
+
+    rows = []
+    for w in range(n_walks):
+        floor = w % getattr(env, "num_floors", 1)
+        pos, ang = env.sample_start_state(floor)
+        env.set_agent_state(pos, ang)
+        prev = None  # (loc, pos, ang, action-taken-after)
+        for i, (obs, action) in enumerate(
+            random_walk(env, steps_per_walk, rng), start=1
+        ):
+            loc = f"w{w:03d}_{i:04d}"
+            d = os.path.join(image_root, loc)
+            os.makedirs(d, exist_ok=True)
+            Image.fromarray(np.asarray(obs["rgb"])).save(
+                os.path.join(d, "0.jpg")
+            )
+            if prev is not None:
+                ploc, ppos, pang, pact = prev
+                # drop collided forwards: a 'forward' label over two
+                # identical frames is unlearnable label noise
+                if not (pact == 0 and np.allclose(ppos, env.pos)):
+                    rows.append(
+                        [ploc, *ppos, *quat(pang), loc, *env.pos,
+                         *quat(env.angle), pact + 1, *([float("inf")] * 5)]
+                    )
+            prev = (loc, np.array(env.pos, np.float64), float(env.angle),
+                    int(action))
+
+    arr = np.array(rows, dtype=object)
+    assert arr.shape[1] == 22
+    perm = rng.permutation(len(arr))
+    n_val = max(1, int(len(arr) * val_fraction))
+    train_p = os.path.join(out_root, "inverse_train_data.npy")
+    val_p = os.path.join(out_root, "inverse_val_data.npy")
+    np.save(train_p, arr[perm[n_val:]], allow_pickle=True)
+    np.save(val_p, arr[perm[:n_val]], allow_pickle=True)
+    return train_p, val_p, image_root

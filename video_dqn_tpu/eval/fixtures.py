@@ -88,6 +88,47 @@ def make_episode_set(n: int, size: int = 48, seed: int = 0,
     contract (house, floor, class, geodesic_dist, pos, rot;
     /root/reference/evaluation/runner.py:40-43,86-96)."""
     rng = np.random.default_rng(seed)
+    if backend == "furnished":
+        # the furnished two-floor house with REAL class objects: episodes
+        # carry (floor, class) pairs whose goals are the house's own
+        # object locations — the domain the self-contained learning loop
+        # trains in, so model-scored workload runs are in-distribution
+        from video_dqn_tpu.sim.gibson import relevant_locations
+
+        template, house = make_furnished_house(size_px=size, seed=seed)
+
+        def build_env(s):
+            return template.clone(seed=s)
+
+        episodes = []
+        for _ in range(n):
+            for _ in range(1000):
+                floor = int(rng.integers(0, len(template.floor_heights)))
+                cls = CLASS_LABELS[int(rng.integers(0, len(CLASS_LABELS)))]
+                start, ang = template.sample_start_state(floor)
+                goals = relevant_locations(
+                    start, house.object_locations_for_habitat_dest[cls])
+                if not goals:
+                    continue
+                gd = min(template.geodesic_distance(start, g) for g in goals)
+                if np.isfinite(gd) and gd > 1.5:
+                    break
+            else:
+                raise RuntimeError("could not sample a reachable episode")
+            episodes.append(("FurnishedHouse", floor, cls, gd, start, ang))
+
+        if fresh_envs:
+            counter = [seed]
+
+            def env_factory(hs, model_config, config):
+                counter[0] += 1
+                return build_env(counter[0])
+        else:
+            def env_factory(hs, model_config, config):
+                return template
+
+        return (np.array(episodes, dtype=object), env_factory,
+                lambda name: house)
     if backend == "mesh":
         from video_dqn_tpu.sim.fake_env import DEFAULT_MAZE
         from video_dqn_tpu.sim.mesh_env import MeshNavEnv

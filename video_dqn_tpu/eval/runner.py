@@ -175,7 +175,8 @@ def run_policy(
             scorer = scorer_factory(env, CLASS_LABELS.index(class_label))
         elif config.SCORE == "model":
             scorer = make_model_scorer(
-                model, params, batch_stats, CLASS_LABELS.index(class_label)
+                model, params, batch_stats, CLASS_LABELS.index(class_label),
+                image_size=int(model_config.TPU.IMAGE_SIZE),
             )
         else:
             scorer = make_geodesic_scorer(env)

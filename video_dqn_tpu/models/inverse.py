@@ -42,16 +42,23 @@ class InverseActionModel(nn.Module):
         trunk = jax.lax.stop_gradient(trunk)
         feats = jnp.concatenate([trunk[:b], trunk[b:]], axis=-1)  # (B,7,7,1024)
 
+        # At the reference's 224 input the trunk map is 7x7 and the two
+        # VALID 3x3 convs reduce it to 3x3 (fc input 576). Below 5x5
+        # (inputs < 160 px, e.g. the 96 px self-contained loop) VALID
+        # would collapse to nothing — switch to SAME there; the reference
+        # geometry is untouched at its own resolution. (Static trace-time
+        # decision: one compiled program per image size either way.)
+        pad = "VALID" if feats.shape[1] >= 5 else "SAME"
         x = nn.Conv(256, (1, 1), padding="VALID", dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv1")(feats)
         x = nn.relu(x)
-        x = nn.Conv(256, (3, 3), padding="VALID", dtype=self.dtype,
+        x = nn.Conv(256, (3, 3), padding=pad, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv2")(x)
         x = nn.relu(x)
-        x = nn.Conv(64, (3, 3), padding="VALID", dtype=self.dtype,
+        x = nn.Conv(64, (3, 3), padding=pad, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv3")(x)
         x = nn.relu(x)
-        x = x.reshape((b, -1))  # (B, 3*3*64) = (B, 576)
+        x = x.reshape((b, -1))  # 224 px: (B, 3*3*64) = (B, 576)
         x = nn.Dense(128, dtype=self.dtype, param_dtype=jnp.float32,
                      name="fc1")(x)
         x = nn.relu(x)

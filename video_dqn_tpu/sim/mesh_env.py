@@ -198,6 +198,11 @@ class MeshNavEnv:
         floors.sort(key=lambda t: t[0])
         self.floor_heights = [h for h, _, _ in floors]
         self._grids = [g for _, g, _ in floors]
+        # public floor count (reference habitat env exposes it via house
+        # metadata; data generators alternate walks across floors with it —
+        # getattr(env, 'num_floors', 1) silently pinned walks to floor 0
+        # while this attribute was missing)
+        self.num_floors = len(floors)
 
         # exact walkable height per column per floor (for agent y updates)
         self._ys, self._oks, self._cnt = ys, oks, cnt
