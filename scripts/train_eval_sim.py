@@ -261,10 +261,12 @@ def main():
             )
         image_root = os.path.join(pairs_root, "states")
         train_b = GibsonPairBatcher(train_npy, image_root=image_root,
-                                    image_size=args.size, seed=0)
+                                    image_size=args.size, seed=0,
+                                    cache_images=True)
         val_b = GibsonPairBatcher(
             os.path.join(pairs_root, "inverse_val_data.npy"),
-            image_root=image_root, image_size=args.size, seed=0)
+            image_root=image_root, image_size=args.size, seed=0,
+            cache_images=True)
         print(f"inverse pairs: {len(train_b)} train / {len(val_b)} val")
         t0 = time.time()
         inv_model, inv_state = run_inverse_train(

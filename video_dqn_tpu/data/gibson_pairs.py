@@ -47,12 +47,17 @@ class GibsonPairBatcher:
         image_root: str = "",
         image_size: int = 224,
         seed: int = 0,
+        cache_images: bool = False,
     ):
         self.panorama = panorama
         self.image_root = image_root
         self.image_size = image_size
         self.num_frames = 4 if panorama else 1
         self._rng = np.random.default_rng(seed)
+        # RAM cache of decoded states: generated pair sets are small
+        # (~2k states x 96px = tens of MB) and each state recurs as both
+        # `before` and `after` across epochs — decode once
+        self._cache = {} if cache_images else None
 
         samples = np.load(file_location, allow_pickle=True)
         (bel, _bpos, _bang, ael, _apos, _aang, action, min_dists) = split_columns(
@@ -78,12 +83,17 @@ class GibsonPairBatcher:
         return self.n
 
     def _load_state(self, loc: str) -> np.ndarray:
+        if self._cache is not None and loc in self._cache:
+            return self._cache[loc]
         base = os.path.join(self.image_root, str(loc))
         orientations = range(self.num_frames) if self.panorama else [0]
-        return load_images(
+        out = load_images(
             [os.path.join(base, f"{o}.jpg") for o in orientations],
             self.image_size,
         )
+        if self._cache is not None:
+            self._cache[loc] = out
+        return out
 
     def get_batch(self, indices: Optional[np.ndarray] = None, batch_size: int = 128) -> Dict[str, np.ndarray]:
         if indices is None:
