@@ -102,9 +102,19 @@ def main():
             "mfu": round(flops / dt / peak, 4) if flops else None,
         })
 
-    # full step
-    dt = bench(lambda s, b: step_fn(s, b)[1]["loss"], state, batch)
-    report("full_step", dt, flops_of(step_fn, state, batch))
+    # full step — donated state must be re-threaded through each call
+    full_flops = flops_of(step_fn, state, batch)
+    import jax as _jax
+
+    for _ in range(3):
+        state, m = step_fn(state, batch)
+    _jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        state, m = step_fn(state, batch)
+    _jax.block_until_ready(m["loss"])
+    report("full_step", (time.perf_counter() - t0) / iters, full_flops)
 
     x = normalize_imagenet(batch["before"].astype(jnp.float32)[:, 0] / 255.0)
 
