@@ -1,21 +1,23 @@
 #!/usr/bin/env python
-"""Panorama-config benchmark: the 4-frame variant's train f/s + MFU and
-eval scoring throughput.
+"""Panorama-config benchmark (round-2 verdict weak item 3: the 4-frame
+variant had parity tests but no measured numbers).
 
-Round-2 verdict weak item 3: the panorama / 4-frame published variant
-(/root/reference/archs/HabitatDQNMultiAction.py:16-19,49-52 — panorama=
-num_frames=4, per-frame features concatenated into the head) had parity
-tests but no measured TPU row. This measures:
-  * the full double-DQN train step with PANORAMA=True (4x the backbone
-    FLOPs of the single-frame headline config), batch probed;
-  * the eval-side 12-view scorer with 4-frame panorama observations.
-PREVIOUS_IMAGES mode shares this exact compute shape (4-frame stacks into
-the same concat head), so these rows cover it too.
+Measures, on the current default device:
+  * PANORAMA=True double-DQN train step (4 frames/sample folded into the
+    batch axis — archs/HabitatDQNMultiAction.py:16-19,49-52 runs the
+    backbone per frame then concats; here all B*4 frames are one backbone
+    batch) — frames-in/sec, samples/sec, and MFU across a batch probe.
+  * Panorama eval scoring: 12 views x 4 frames x 5 classes in ONE device
+    call (the reference runs 12 sequential forwards of a 4-frame stack,
+    evaluation/evaluate.py:110-114).
 
-Prints one JSON line per row (bench.py keeps the single-line headline
-contract; this is the secondary sheet recorded in BASELINE.md).
+Prints one JSON line per row; results recorded in BASELINE.md. bench.py
+keeps the single-line headline contract for the driver.
+
+Usage: python scripts/bench_panorama.py [--batches 64,128,256]
 """
 
+import argparse
 import json
 import sys
 import time
@@ -24,6 +26,11 @@ sys.path.insert(0, ".")
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="64,128,256")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -39,7 +46,9 @@ def main():
     from video_dqn_tpu.parallel import make_mesh, shard_batch
     from video_dqn_tpu.train.dqn import TrainState, jit_train_step
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    peak = _peak_flops(jax.devices()[0]) or 0.0
+    n_chips = len(jax.devices())
+
     cfg = get_cfg_defaults()
     cfg.PANORAMA = True
     cfg.ARCHITECTURE = "extra_capacity"
@@ -48,72 +57,74 @@ def main():
     cfg.GAMMA = 0.99
     cfg.LEARNING_RATE = 1e-4
 
-    mesh = make_mesh(len(jax.devices()), 1)
+    mesh = make_mesh(n_chips, 1)
     model = build_qnet(cfg)
-    params, batch_stats = init_qnet(model, jax.random.key(0), image_size=224)
     tx = optax.adam(cfg.LEARNING_RATE)
-    state = TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=params,
-        batch_stats=batch_stats,
-        target_params=jax.tree_util.tree_map(jnp.copy, params),
-        target_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
-        opt_state=tx.init(params),
-        ema_loss=jnp.zeros((), jnp.float32),
-    )
-    step_fn, state, _ = jit_train_step(model, cfg, tx, mesh, state)
 
-    host = synthetic_batch(batch_size=batch_size, num_frames=4,
-                           image_size=224)
-    batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in host.items()})
+    for batch_size in [int(b) for b in args.batches.split(",")]:
+        params, batch_stats = init_qnet(model, jax.random.key(0),
+                                        image_size=224)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            batch_stats=batch_stats,
+            target_params=jax.tree_util.tree_map(jnp.copy, params),
+            target_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
+            opt_state=tx.init(params), ema_loss=jnp.zeros((), jnp.float32),
+        )
+        step_fn, state, _ = jit_train_step(model, cfg, tx, mesh, state)
+        host = synthetic_batch(batch_size=batch_size, num_frames=4,
+                               image_size=224)
+        batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in host.items()})
 
-    state, m = step_fn(state, batch)
-    jax.block_until_ready(m["loss"])
-    for _ in range(2):
-        state, m = step_fn(state, batch)
-    jax.block_until_ready(m["loss"])
+        flops = None
+        try:
+            cost = step_fn.lower(state, batch).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+        except Exception:
+            pass
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step_fn(state, batch)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
+        for _ in range(3):
+            state, m = step_fn(state, batch)
+        jax.block_until_ready(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, m = step_fn(state, batch)
+        jax.block_until_ready(m["loss"])
+        dt = (time.perf_counter() - t0) / args.iters
 
-    n_chips = len(jax.devices())
-    fps = batch_size * iters / dt / n_chips
-    mfu = flops = None
-    try:
-        cost = step_fn.lower(state, batch).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        peak = _peak_flops(jax.devices()[0])
-        if flops > 0 and peak:
-            mfu = round(flops * (iters / dt) / (n_chips * peak), 4)
-    except Exception:
-        pass
-    print(json.dumps({
-        "metric": "panorama_train_frames_per_sec_per_chip",
-        "value": round(fps, 1), "unit": "frames/sec/chip",
-        "batch": batch_size, "mfu": mfu, "flops_per_step": flops,
-    }))
+        mfu = (round(flops / dt / (n_chips * peak), 4)
+               if flops and peak else None)
+        print(json.dumps({
+            "metric": "panorama_train_samples_per_sec_per_chip",
+            "value": round(batch_size / dt / n_chips, 1),
+            "unit": "samples/sec/chip (1 sample = 4 frames)",
+            "frames_per_sec_per_chip": round(4 * batch_size / dt / n_chips, 1),
+            "batch": batch_size,
+            "ms_per_step": round(dt * 1000, 2),
+            "mfu": mfu,
+            "tflops_per_step": round(flops / 1e12, 3) if flops else None,
+        }))
 
-    # ---- eval: 12-view scorer with 4-frame panorama observations --------
+    # eval side: 12 views x 4 frames x 5 classes, one device call
     from video_dqn_tpu.eval.evaluate import make_model_scorer
 
+    params, batch_stats = init_qnet(model, jax.random.key(0), image_size=224)
     scorer = make_model_scorer(model, params, batch_stats, class_index=4)
     rng = np.random.default_rng(0)
-    views = rng.integers(0, 256, (12, 4, 224, 224, 3), np.uint8)
-    scorer(views)
+    images = rng.integers(0, 256, (12, 4, 224, 224, 3), np.uint8)
+    scorer(images)
     t0 = time.perf_counter()
-    for _ in range(20):
-        scorer(views)
-    dt = time.perf_counter() - t0
+    iters = 20
+    for _ in range(iters):
+        scorer(images)
+    dt = (time.perf_counter() - t0) / iters
     print(json.dumps({
         "metric": "panorama_eval_views_per_sec",
-        "value": round(12 * 20 / dt, 1), "unit": "views/sec",
-        "ms_per_stop": round(dt / 20 * 1000, 1),
+        "value": round(12 / dt, 1),
+        "unit": "4-frame views/sec",
+        "ms_per_12view_stop": round(dt * 1000, 1),
     }))
 
 

@@ -69,6 +69,32 @@ def test_resnet18_forward_parity(rng):
     np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
 
 
+def test_stem_space_to_depth_exact(rng):
+    """The MXU stem rewrite (Stem7x7) must reproduce the direct 7x7
+    stride-2 conv bit-for-bit up to summation order: same kernel, even
+    input -> s2d path; odd input -> fallback direct path. Both compared
+    against a plain lax conv with the canonical kernel."""
+    from jax import lax
+
+    from video_dqn_tpu.models.resnet import Stem7x7
+
+    stem = Stem7x7(64, dtype=jnp.float32)
+    for size in (96, 97):
+        x = jnp.asarray(rng.standard_normal((2, size, size, 3),
+                                            dtype=np.float32))
+        params = stem.init(jax.random.key(0), x)
+        got = stem.apply(params, x)
+        want = lax.conv_general_dilated(
+            x, params["params"]["kernel"], window_strides=(2, 2),
+            padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        assert got.shape == want.shape == (2, (size + 1) // 2,
+                                           (size + 1) // 2, 64)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+
 def test_resnet18_conv_and_pool_taps(rng):
     tm = randomize(TorchResNet18())
     params, stats = convert_resnet18(tm.state_dict())

@@ -20,8 +20,60 @@ from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
 Dtype = Any
+
+
+class Stem7x7(nn.Module):
+    """The 7x7-stride-2 stem conv with the canonical torch parameter
+    layout but an MXU-friendly space-to-depth compute path.
+
+    A direct 7x7 conv over a 3-channel image occupies 3 of the MXU's 128
+    input lanes — the train-step attribution (BASELINE.md "MFU
+    attribution") pinned the backbone's missing utilization partly here.
+    The MLPerf-ResNet rewrite: space-to-depth the input by 2 (H, W, C) ->
+    (H/2, W/2, 4C) and convolve with the exactly-rearranged kernel at
+    stride 1 — output index i reads input rows 2i-3..2i+3, i.e. s2d rows
+    i-2..i+1, so a 4x4 kernel whose tap (r, u) carries original tap
+    dy = 2r + u - 1 (dy = -1 zero-padded) reproduces the 7-tap stencil
+    bit-for-bit; padding (2, 1) in s2d space matches the original (3, 3).
+
+    The parameter stays the canonical (7, 7, C, features) 'kernel' —
+    checkpoints, the torchvision converter (torch_convert.py), and golden
+    parity tests are unaffected; the rearrangement is done per call (a
+    9K-element pad+reshape, free next to the conv). Odd spatial sizes fall
+    back to the direct conv."""
+
+    features: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, c_in, self.features), jnp.float32,
+        )
+        b, h, w, _ = x.shape
+        if h % 2 or w % 2:
+            return lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # dy,dx = -1
+        k2 = (kp.reshape(4, 2, 4, 2, c_in, self.features)
+              .transpose(0, 2, 1, 3, 4, 5)
+              .reshape(4, 4, 4 * c_in, self.features))
+        x2 = (x.reshape(b, h // 2, 2, w // 2, 2, c_in)
+              .transpose(0, 1, 3, 2, 4, 5)
+              .reshape(b, h // 2, w // 2, 4 * c_in))
+        return lax.conv_general_dilated(
+            x2.astype(self.dtype), k2.astype(self.dtype),
+            window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
 
 class BasicBlock(nn.Module):
@@ -111,9 +163,7 @@ class ResNet50Stages(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-                    name="conv1")(x)
+        x = Stem7x7(64, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name="bn1")(x)
@@ -141,9 +191,7 @@ class ResNet18(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-                    name="conv1")(x)
+        x = Stem7x7(64, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
                          param_dtype=jnp.float32, name="bn1")(x)
