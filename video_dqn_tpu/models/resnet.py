@@ -27,17 +27,26 @@ Dtype = Any
 
 class Stem7x7(nn.Module):
     """The 7x7-stride-2 stem conv with the canonical torch parameter
-    layout but an MXU-friendly space-to-depth compute path.
+    layout and a selectable space-to-depth compute path.
 
     A direct 7x7 conv over a 3-channel image occupies 3 of the MXU's 128
     input lanes — the train-step attribution (BASELINE.md "MFU
     attribution") pinned the backbone's missing utilization partly here.
-    The MLPerf-ResNet rewrite: space-to-depth the input by 2 (H, W, C) ->
-    (H/2, W/2, 4C) and convolve with the exactly-rearranged kernel at
-    stride 1 — output index i reads input rows 2i-3..2i+3, i.e. s2d rows
-    i-2..i+1, so a 4x4 kernel whose tap (r, u) carries original tap
-    dy = 2r + u - 1 (dy = -1 zero-padded) reproduces the 7-tap stencil
-    bit-for-bit; padding (2, 1) in s2d space matches the original (3, 3).
+    The MLPerf-ResNet rewrite (s2d=True): space-to-depth the input by 2
+    (H, W, C) -> (H/2, W/2, 4C) and convolve with the exactly-rearranged
+    kernel at stride 1 — output index i reads input rows 2i-3..2i+3,
+    i.e. s2d rows i-2..i+1, so a 4x4 kernel whose tap (r, u) carries
+    original tap dy = 2r + u - 1 (dy = -1 zero-padded) reproduces the
+    7-tap stencil bit-for-bit; padding (2, 1) in s2d space matches the
+    original (3, 3).
+
+    MEASURED SLOWER here, so s2d defaults to False: on v5e the rewrite
+    cost 21% on the inference forward (20.2 -> 24.4 ms at batch 512) and
+    3% on the full train step — this XLA version's native lowering of the
+    7x7-s2 stem beats the manual rewrite, and the nominal stem FLOPs rise
+    1.3x (4x4 taps cover the 7-tap stencil with zero padding). Kept as a
+    selectable path with a bit-exactness test (test_models.py) because
+    the trade-off is hardware/compiler-version dependent.
 
     The parameter stays the canonical (7, 7, C, features) 'kernel' —
     checkpoints, the torchvision converter (torch_convert.py), and golden
@@ -47,6 +56,7 @@ class Stem7x7(nn.Module):
 
     features: int = 64
     dtype: Dtype = jnp.float32
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -56,7 +66,7 @@ class Stem7x7(nn.Module):
             (7, 7, c_in, self.features), jnp.float32,
         )
         b, h, w, _ = x.shape
-        if h % 2 or w % 2:
+        if not self.s2d or h % 2 or w % 2:
             return lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 window_strides=(2, 2), padding=((3, 3), (3, 3)),
