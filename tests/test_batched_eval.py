@@ -91,6 +91,48 @@ def test_batched_writes_results(tmp_path):
     assert mean is not None
 
 
+def test_batched_matches_sequential_furnished_workload(tmp_path):
+    """The model-scored product-workload surface (make_episode_set
+    backend='furnished', fresh cloned envs, run_policy_batched) must
+    match per-episode sequential evaluation — this is the exact path of
+    the full 1,075-episode model-scored artifact in BASELINE.md."""
+    from video_dqn_tpu.eval.fixtures import make_episode_set
+
+    episodes, env_factory, house_factory = make_episode_set(
+        2, backend="furnished", size=SIZE, fresh_envs=True)
+    model, params, stats = make_model()
+
+    def env_for(ep):
+        house = house_factory(ep[0])
+        env = env_factory(house, None, None)
+        loc = env.sample_start_state(int(ep[1]))[0]
+        env.goals = relevant_locations(
+            loc, house.object_locations_for_habitat_dest[ep[2]])
+        env.set_agent_state(ep[4], ep[5])
+        return env, house
+
+    from video_dqn_tpu.sim.gibson import CLASS_LABELS
+
+    seq_results = {}
+    for i, ep in enumerate(episodes):
+        env, house = env_for(ep)
+        scorer = make_model_scorer(model, params, stats,
+                                   CLASS_LABELS.index(ep[2]),
+                                   image_size=SIZE)
+        cfg = eval_cfg(SLAM=True, SEED=1)
+        seq_results[i] = ours_evaluate(cfg, env, ep, house, i, scorer)
+
+    cfg = eval_cfg(SLAM=True, SEED=1, RESULT_LOCATION=str(tmp_path / "r"))
+    scorer = make_multiclass_scorer(model, params, stats, image_size=SIZE)
+    results = run_policy_batched(
+        cfg, episodes, env_factory=lambda h, c: env_factory(h, None, c),
+        house_factory=house_factory,
+        scorer=scorer, class_index_of=True, max_concurrent=2, debug=True,
+    )
+    for i in range(2):
+        np.testing.assert_allclose(results[i], seq_results[i], atol=1e-5)
+
+
 def test_mesh_sharded_scorer_matches_unsharded(mesh8):
     """Cross-chip eval scoring: the mesh-sharded multiclass scorer must
     produce identical scores to the single-device path, including ragged
