@@ -42,6 +42,16 @@ def main():
                         help="model-scored runs only: keep N episodes in "
                              "flight with cross-episode fused (and, on a "
                              "multi-chip mesh, data-sharded) scoring")
+    parser.add_argument("--pipeline-depth", default=1, type=int, metavar="D",
+                        help="with --batched: split the in-flight episodes "
+                             "into D cohorts and overlap one cohort's device "
+                             "scoring with the others' host planning "
+                             "(results are bit-identical for any D)")
+    parser.add_argument("--host-workers", default=0, type=int, metavar="W",
+                        help="with --batched: advance episodes' host work "
+                             "(SLAM/FMM/env stepping) in W threads — scales "
+                             "across cores on multi-core hosts; results are "
+                             "bit-identical")
     parser.add_argument("config", help="eval config yml")
     args = parser.parse_args()
 
@@ -125,7 +135,9 @@ def main():
             house_factory=kwargs["house_factory"],
             scorer=scorer, class_index_of=True,
             detector=build_detector_from_config(config),
-            max_concurrent=int(args.batched), debug=args.debug,
+            max_concurrent=int(args.batched),
+            pipeline_depth=int(args.pipeline_depth),
+            host_workers=int(args.host_workers), debug=args.debug,
         )
     else:
         if args.batched:

@@ -44,6 +44,34 @@ def main(views=12, iters=20):
     print(f"panorama_q_inferences_per_sec: {views * iters / dt:.1f} "
           f"(views/sec; {dt / iters * 1000:.1f} ms per 12-view stop)")
 
+    # sustained throughput with K reasoning stops in flight: the
+    # batched_runner's async dispatch/gather path (pipeline_depth>1 or
+    # >1 concurrent episodes) keeps K fused forwards queued on the
+    # device, so per-call dispatch latency (dominated here by the axon
+    # tunnel) amortizes away — this is the co-located/production
+    # utilization story for the eval side (VERDICT r2 weak #2).
+    from collections import deque
+
+    from video_dqn_tpu.eval.batched_runner import make_multiclass_scorer
+
+    mscorer = make_multiclass_scorer(model, params, stats, image_size=224)
+    cls = np.full(views, 4)
+    mscorer(images, cls)  # compile
+    M = 32
+    for K in (1, 2, 4, 8):
+        handles = deque()
+        t0 = time.perf_counter()
+        for _ in range(M):
+            handles.append(mscorer.dispatch(images, cls))
+            if len(handles) >= K:
+                mscorer.gather(handles.popleft())
+        while handles:
+            mscorer.gather(handles.popleft())
+        dt = time.perf_counter() - t0
+        print(f"pipelined_stops_in_flight_{K}: "
+              f"{views * M / dt:.1f} views/sec "
+              f"({dt / M * 1000:.1f} ms per 12-view stop)")
+
     # fused mapping program
     from video_dqn_tpu.ops.binning import observations_to_map_delta
     from video_dqn_tpu.ops.geometry import get_camera_matrix

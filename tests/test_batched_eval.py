@@ -133,6 +133,91 @@ def test_batched_matches_sequential_furnished_workload(tmp_path):
         np.testing.assert_allclose(results[i], seq_results[i], atol=1e-5)
 
 
+def build_fixtures4():
+    episodes, houses = [], {}
+    coords = [((6, 6), (2, 2)), ((14, 8), (3, 9)),
+              ((10, 4), (2, 10)), ((5, 12), (12, 3))]
+    for i, (gc, sc) in enumerate(coords):
+        _, house, ep = make_env_and_episode(gc, sc, size=SIZE)
+        name = f"H{i}"
+        episodes.append((name, *ep[1:]))
+        houses[name] = house
+    return episodes, houses
+
+
+@pytest.mark.parametrize("depth", [2, 3])
+def test_pipelined_matches_unpipelined(tmp_path, depth):
+    """Software-pipelined cohorts (async dispatch overlapping host
+    planning) must produce bit-identical per-episode results to the
+    single-cohort barrier runner for any depth/cohort split."""
+    model, params, stats = make_model()
+    episodes, houses = build_fixtures4()
+    scorer = make_multiclass_scorer(model, params, stats, image_size=SIZE)
+    cfg = eval_cfg(SLAM=True, SEED=1, RESULT_LOCATION=str(tmp_path / "r"))
+    base = run_policy_batched(
+        cfg, episodes, env_factory=fresh_env,
+        house_factory=lambda name: houses[name],
+        scorer=scorer, class_index_of=True, max_concurrent=4, debug=True,
+    )
+    piped = run_policy_batched(
+        cfg, episodes, env_factory=fresh_env,
+        house_factory=lambda name: houses[name],
+        scorer=scorer, class_index_of=True, max_concurrent=4,
+        pipeline_depth=depth, debug=True,
+    )
+    assert set(piped.keys()) == set(base.keys()) == {0, 1, 2, 3}
+    for i in base:
+        np.testing.assert_allclose(piped[i], base[i], atol=1e-5)
+
+
+def test_threaded_host_advance_matches(tmp_path):
+    """host_workers>1 advances episodes' host work (SLAM/FMM/stepping) in
+    a thread pool — per-episode state is instance-owned, so results must
+    be bit-identical to single-threaded advance (incl. combined with
+    pipelining)."""
+    model, params, stats = make_model()
+    episodes, houses = build_fixtures4()
+    scorer = make_multiclass_scorer(model, params, stats, image_size=SIZE)
+    cfg = eval_cfg(SLAM=True, SEED=1, RESULT_LOCATION=str(tmp_path / "r"))
+    base = run_policy_batched(
+        cfg, episodes, env_factory=fresh_env,
+        house_factory=lambda name: houses[name],
+        scorer=scorer, class_index_of=True, max_concurrent=4, debug=True,
+    )
+    threaded = run_policy_batched(
+        cfg, episodes, env_factory=fresh_env,
+        house_factory=lambda name: houses[name],
+        scorer=scorer, class_index_of=True, max_concurrent=4,
+        pipeline_depth=2, host_workers=2, debug=True,
+    )
+    assert set(threaded.keys()) == set(base.keys())
+    for i in base:
+        np.testing.assert_allclose(threaded[i], base[i], atol=1e-5)
+
+
+def test_pipelined_sync_scorer_fallback(tmp_path):
+    """A plain callable scorer (no .dispatch/.gather) still works under
+    pipeline_depth > 1 — pipelining degrades to synchronous scoring."""
+    model, params, stats = make_model()
+    episodes, houses = build_fixtures()
+    rich = make_multiclass_scorer(model, params, stats, image_size=SIZE)
+    plain = lambda imgs, cls: rich(imgs, cls)  # strips the attributes
+    cfg = eval_cfg(SLAM=True, SEED=1, RESULT_LOCATION=str(tmp_path / "r"))
+    base = run_policy_batched(
+        cfg, episodes, env_factory=fresh_env,
+        house_factory=lambda name: houses[name],
+        scorer=rich, class_index_of=True, max_concurrent=2, debug=True,
+    )
+    piped = run_policy_batched(
+        cfg, episodes, env_factory=fresh_env,
+        house_factory=lambda name: houses[name],
+        scorer=plain, class_index_of=True, max_concurrent=2,
+        pipeline_depth=2, debug=True,
+    )
+    for i in base:
+        np.testing.assert_allclose(piped[i], base[i], atol=1e-5)
+
+
 def test_mesh_sharded_scorer_matches_unsharded(mesh8):
     """Cross-chip eval scoring: the mesh-sharded multiclass scorer must
     produce identical scores to the single-device path, including ragged

@@ -19,3 +19,34 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _honor_platform_env():
+    """Make `JAX_PLATFORMS=cpu python <any CLI>` actually select CPU.
+
+    This container's TPU boot hook (sitecustomize -> axon.register)
+    imports jax at interpreter start and calls
+    ``jax.config.update("jax_platforms", "axon,cpu")`` — silently
+    overriding the user's JAX_PLATFORMS env var. A CPU-requested run
+    then initializes the axon TPU client anyway, which *blocks
+    indefinitely* whenever another process holds the single tunnel.
+    Re-assert the env var's choice here (package import runs before any
+    backend init in every CLI); tests/conftest.py does the same thing
+    for the test suite. No-op when JAX_PLATFORMS is unset or jax is
+    absent, and harmless if backends are somehow already initialized
+    (config.update only steers future inits)."""
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        import jax
+
+        if jax.config.jax_platforms != want:
+            jax.config.update("jax_platforms", want)
+    except Exception:
+        pass
+
+
+_honor_platform_env()

@@ -34,6 +34,8 @@ def run_policy_batched(
     class_index_of=None,
     detector=None,
     max_concurrent: int = 8,
+    pipeline_depth: int = 1,
+    host_workers: int = 0,
     debug: bool = False,
 ):
     """Run all episodes with up to `max_concurrent` in flight.
@@ -42,6 +44,27 @@ def run_policy_batched(
     episodes cannot share an env); scorer scores a (V, ...) uint8 batch
     for a given class via scorer(images, class_index) OR a plain
     per-batch scorer when class_index_of is None.
+
+    `pipeline_depth` > 1 splits the in-flight episodes into that many
+    cohorts and software-pipelines them: while one cohort's fused view
+    batch is being scored on the device (JAX dispatch is asynchronous),
+    the other cohorts' episodes do their host/C++ work (env stepping,
+    SLAM mapping, FMM planning). This hides the device call — the
+    reference never overlaps them (its eval is one blocking forward per
+    view, evaluate.py:110-114). Scorers built by `make_multiclass_scorer`
+    expose non-blocking `.dispatch`/`.gather`; plain callables degrade to
+    synchronous scoring (pipelining then only reorders, never overlaps).
+    Per-episode results are bit-identical for any depth/cohort split:
+    scoring is per-row, so batch composition cannot change values.
+
+    `host_workers` > 0 advances the episodes of a cohort in a thread
+    pool: the per-episode host work (numpy SLAM mapping, native FMM and
+    raycasts — all GIL-releasing) runs across cores on multi-core
+    production hosts. Safe because every episode owns its env, mapper,
+    and fmm/opened-grid caches (plan/mapper.py keeps them per
+    instance); results and DiskLogger writes stay on the calling
+    thread. On a 1-core host this changes nothing but ordering of
+    Python-level interleaving — results remain bit-identical.
     """
     log_folder = os.path.join(config.RESULT_LOCATION, name_from_config(config))
     logger = DiskLogger(log_folder, checkpoint_time=60 * 30)
@@ -49,10 +72,9 @@ def run_policy_batched(
     from video_dqn_tpu.sim.gibson import CLASS_LABELS, relevant_locations
 
     pending = list(enumerate(episodes))
-    active = {}  # epind -> (gen, class_index, awaiting_request)
     results = {}
 
-    def launch_one():
+    def launch_into(cohort):
         if not pending:
             return False
         epind, ep = pending.pop(0)
@@ -71,45 +93,91 @@ def run_policy_batched(
         ci = CLASS_LABELS.index(class_label)
         try:
             req = next(gen)
-            active[epind] = (gen, ci, req)
+            cohort[epind] = (gen, ci, req)
         except StopIteration as stop:
             results[epind] = stop.value
             if not debug:
                 logger.write(epind, stop.value)
         return True
 
-    while len(active) < max_concurrent and launch_one():
-        pass
+    if hasattr(scorer, "dispatch") and hasattr(scorer, "gather"):
+        do_dispatch, do_gather = scorer.dispatch, scorer.gather
+    else:
+        def do_dispatch(stacked, cls):
+            return scorer(stacked, cls) if cls is not None else scorer(stacked)
 
-    while active:
-        # fuse all pending requests into per-class score calls (a single
-        # class_index-aware scorer can batch across classes too)
-        items = list(active.items())
+        def do_gather(handle):
+            return handle
+
+    def fuse_and_dispatch(cohort):
+        # fuse the cohort's pending requests into ONE score call (a
+        # class_index-aware scorer batches across classes too)
+        if not cohort:
+            return None
+        items = list(cohort.items())
         batches = [req for _, (_, _, req) in items]
         sizes = [len(b) for b in batches]
         stacked = np.concatenate(batches, axis=0)
+        cls = None
         if class_index_of is not None:
             cls = np.concatenate(
                 [np.full(n, ci) for n, (_, (_, ci, _)) in zip(sizes, items)]
             )
-            scores = scorer(stacked, cls)
-        else:
-            scores = scorer(stacked)
-        # distribute + advance each episode to its next request
-        offset = 0
-        for (epind, (gen, ci, _)), n in zip(items, sizes):
-            part = np.asarray(scores[offset : offset + n])
+        return items, sizes, do_dispatch(stacked, cls)
+
+    pool = None
+    if host_workers and host_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=int(host_workers))
+
+    def _send(gen, part):
+        try:
+            return gen.send(part), None, False
+        except StopIteration as stop:
+            return None, stop.value, True
+
+    def advance(cohort, items, sizes, scores):
+        # distribute scores + advance each episode to its next request
+        # (all the host/C++ per-episode work happens inside gen.send)
+        parts, offset = [], 0
+        for n in sizes:
+            parts.append(np.asarray(scores[offset : offset + n]))
             offset += n
-            try:
-                req = gen.send(part)
-                active[epind] = (gen, ci, req)
-            except StopIteration as stop:
-                del active[epind]
-                results[epind] = stop.value
+        if pool is not None:
+            outs = list(pool.map(
+                _send, [gen for _, (gen, _, _) in items], parts))
+        else:
+            outs = [_send(gen, part)
+                    for (_, (gen, _, _)), part in zip(items, parts)]
+        for (epind, (gen, ci, _)), (req, value, done) in zip(items, outs):
+            if done:
+                del cohort[epind]
+                results[epind] = value
                 if not debug:
-                    logger.write(epind, stop.value)
-                while len(active) < max_concurrent and launch_one():
-                    pass
+                    logger.write(epind, value)
+            else:
+                cohort[epind] = (gen, ci, req)
+
+    depth = max(1, int(pipeline_depth))
+    per_cohort = max(1, -(-max_concurrent // depth))
+    cohorts = [dict() for _ in range(depth)]
+    inflight = [None] * depth
+    for i, c in enumerate(cohorts):
+        while len(c) < per_cohort and launch_into(c):
+            pass
+        inflight[i] = fuse_and_dispatch(c)
+
+    while any(f is not None for f in inflight):
+        for i, c in enumerate(cohorts):
+            if inflight[i] is not None:
+                items, sizes, handle = inflight[i]
+                advance(c, items, sizes, do_gather(handle))
+            while len(c) < per_cohort and launch_into(c):
+                pass
+            inflight[i] = fuse_and_dispatch(c)
+    if pool is not None:
+        pool.shutdown()
     return results
 
 
@@ -154,7 +222,13 @@ def make_multiclass_scorer(model, params, batch_stats, image_size: int = 224,
         q_cls = jnp.take_along_axis(q, cls[:, None, None], axis=1)[:, 0]
         return q_cls.max(axis=-1)
 
-    def scorer(images, cls):
+    def dispatch(images, cls):
+        """Non-blocking: pad, ship to device, enqueue the fused forward.
+
+        JAX dispatch is asynchronous — the returned handle is a device
+        array still being computed; `gather` blocks on it. The pipelined
+        run_policy_batched overlaps other cohorts' host planning with
+        this device work."""
         x = np.asarray(images)
         if x.ndim == 4:
             x = x[:, None]
@@ -167,7 +241,15 @@ def make_multiclass_scorer(model, params, batch_stats, image_size: int = 224,
         if mesh is not None:
             x = jax.device_put(x, batch_sharding)
             c = jax.device_put(c, batch_sharding)
-        out = np.asarray(run(x, c))
-        return out[:b]
+        return run(x, c), b
 
+    def gather(handle):
+        out, b = handle
+        return np.asarray(out)[:b]
+
+    def scorer(images, cls):
+        return gather(dispatch(images, cls))
+
+    scorer.dispatch = dispatch
+    scorer.gather = gather
     return scorer
