@@ -137,7 +137,8 @@ def main():
             detector=build_detector_from_config(config),
             max_concurrent=int(args.batched),
             pipeline_depth=int(args.pipeline_depth),
-            host_workers=int(args.host_workers), debug=args.debug,
+            host_workers=int(args.host_workers),
+            resume=args.resume, debug=args.debug,
         )
     else:
         if args.batched:

@@ -218,6 +218,59 @@ def test_pipelined_sync_scorer_fallback(tmp_path):
         np.testing.assert_allclose(piped[i], base[i], atol=1e-5)
 
 
+def test_batched_resume_skips_done_episodes(tmp_path):
+    """resume=True merges the DiskLogger shards and only runs the
+    missing episodes; the combined results equal a straight full run
+    (episode content is fixed at fixture time, so a partial crash +
+    resume is bit-identical)."""
+    model, params, stats = make_model()
+    episodes, houses = build_fixtures4()
+    scorer = make_multiclass_scorer(model, params, stats, image_size=SIZE)
+    cfg = eval_cfg(SLAM=True, SEED=1, RESULT_LOCATION=str(tmp_path / "r"))
+    full = run_policy_batched(
+        cfg, episodes, env_factory=fresh_env,
+        house_factory=lambda name: houses[name],
+        scorer=scorer, class_index_of=True, max_concurrent=4, debug=True,
+    )
+    # simulate a crashed run that only finished episodes 0 and 2
+    cfg2 = eval_cfg(SLAM=True, SEED=1, RESULT_LOCATION=str(tmp_path / "r2"))
+    partial = run_policy_batched(
+        cfg2, [episodes[0], episodes[2]], env_factory=fresh_env,
+        house_factory=lambda name: houses[name],
+        scorer=scorer, class_index_of=True, max_concurrent=2, debug=False,
+    )
+    # rewrite the shards under the full run's episode indices
+    import os
+
+    from video_dqn_tpu.core import DiskLogger as DL
+    from video_dqn_tpu.eval.policy_config import name_from_config
+
+    folder = os.path.join(cfg2.RESULT_LOCATION, name_from_config(cfg2))
+    for f in os.listdir(folder):
+        os.remove(os.path.join(folder, f))
+    lg = DL(folder)
+    lg.write(0, partial[0])
+    lg.write(2, partial[1])
+
+    launched = []
+
+    def counting_env_factory(house, config=None):
+        launched.append(house)
+        return fresh_env(house, config)
+
+    resumed = run_policy_batched(
+        cfg2, episodes, env_factory=counting_env_factory,
+        house_factory=lambda name: houses[name],
+        scorer=scorer, class_index_of=True, max_concurrent=4,
+        resume=True, debug=True,
+    )
+    assert set(resumed.keys()) == {0, 1, 2, 3}
+    for i in full:
+        np.testing.assert_allclose(resumed[i], full[i], atol=1e-5)
+    # only the two missing episodes were launched
+    assert len(launched) == 2
+
+
 def test_mesh_sharded_scorer_matches_unsharded(mesh8):
     """Cross-chip eval scoring: the mesh-sharded multiclass scorer must
     produce identical scores to the single-device path, including ragged

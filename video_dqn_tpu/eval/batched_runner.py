@@ -36,6 +36,7 @@ def run_policy_batched(
     max_concurrent: int = 8,
     pipeline_depth: int = 1,
     host_workers: int = 0,
+    resume: bool = False,
     debug: bool = False,
 ):
     """Run all episodes with up to `max_concurrent` in flight.
@@ -71,8 +72,19 @@ def run_policy_batched(
 
     from video_dqn_tpu.sim.gibson import CLASS_LABELS, relevant_locations
 
-    pending = list(enumerate(episodes))
     results = {}
+    if resume:
+        # skip episodes whose results already exist in the shards (crash-
+        # safe merge, same contract as the sequential runner). Bit-safe for
+        # the generated workloads: episode content is fixed at fixture
+        # time and the env seed counter only feeds start-state sampling,
+        # which eval never calls mid-episode.
+        from video_dqn_tpu.core import DiskReader
+
+        results = dict(DiskReader(log_folder).data())
+        if results:
+            print(f"Resuming: {len(results)} episodes already on disk")
+    pending = [(i, ep) for i, ep in enumerate(episodes) if i not in results]
 
     def launch_into(cohort):
         if not pending:
