@@ -52,6 +52,17 @@ def main():
                              "(SLAM/FMM/env stepping) in W threads — scales "
                              "across cores on multi-core hosts; results are "
                              "bit-identical")
+    parser.add_argument("--gather-timeout", default=900.0, type=float,
+                        metavar="S",
+                        help="with --batched: device-stall watchdog — a "
+                             "score gather blocking past S seconds in "
+                             "steady state raises loudly instead of "
+                             "hanging the workload (first gather exempt "
+                             "for compile/warmup); 0 disables")
+    parser.add_argument("--progress-every", default=300.0, type=float,
+                        metavar="S",
+                        help="with --batched: print done/total, rate, and "
+                             "ETA at most every S seconds; 0 disables")
     parser.add_argument("config", help="eval config yml")
     args = parser.parse_args()
 
@@ -138,7 +149,10 @@ def main():
             max_concurrent=int(args.batched),
             pipeline_depth=int(args.pipeline_depth),
             host_workers=int(args.host_workers),
-            resume=args.resume, debug=args.debug,
+            resume=args.resume,
+            gather_timeout=float(args.gather_timeout),
+            progress_every=float(args.progress_every),
+            debug=args.debug,
         )
     else:
         if args.batched:

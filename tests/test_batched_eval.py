@@ -271,6 +271,65 @@ def test_batched_resume_skips_done_episodes(tmp_path):
     assert len(launched) == 2
 
 
+def test_gather_watchdog_raises_on_stall(tmp_path):
+    """A gather blocking past the timeout in steady state must raise
+    loudly (device/tunnel stall) instead of hanging the workload; the
+    first gather is exempt (compile/warmup)."""
+    import time
+
+    model, params, stats = make_model()
+    episodes, houses = build_fixtures()
+    real = make_multiclass_scorer(model, params, stats, image_size=SIZE)
+    n_gathers = [0]
+
+    def dispatch(images, cls):
+        return real.dispatch(images, cls)
+
+    def gather(handle):
+        n_gathers[0] += 1
+        if n_gathers[0] > 1:
+            time.sleep(5.0)  # simulated tunnel stall
+        return real.gather(handle)
+
+    stalling = lambda imgs, cls: gather(dispatch(imgs, cls))
+    stalling.dispatch = dispatch
+    stalling.gather = gather
+
+    cfg = eval_cfg(SLAM=True, SEED=1, RESULT_LOCATION=str(tmp_path / "r"))
+    with pytest.raises(RuntimeError, match="stalled past .*resume"):
+        run_policy_batched(
+            cfg, episodes, env_factory=fresh_env,
+            house_factory=lambda name: houses[name],
+            scorer=stalling, class_index_of=True, max_concurrent=2,
+            gather_timeout=1.0, debug=True,
+        )
+
+
+def test_gather_watchdog_passthrough_and_progress(tmp_path, capsys):
+    """With a generous timeout the watchdog changes nothing (bit-identical
+    results via the worker thread), and progress_every emits rate/ETA
+    lines."""
+    model, params, stats = make_model()
+    episodes, houses = build_fixtures()
+    scorer = make_multiclass_scorer(model, params, stats, image_size=SIZE)
+    cfg = eval_cfg(SLAM=True, SEED=1, RESULT_LOCATION=str(tmp_path / "r"))
+    base = run_policy_batched(
+        cfg, episodes, env_factory=fresh_env,
+        house_factory=lambda name: houses[name],
+        scorer=scorer, class_index_of=True, max_concurrent=2, debug=True,
+    )
+    guarded = run_policy_batched(
+        cfg, episodes, env_factory=fresh_env,
+        house_factory=lambda name: houses[name],
+        scorer=scorer, class_index_of=True, max_concurrent=2,
+        gather_timeout=600.0, progress_every=1e-9, debug=True,
+    )
+    for i in base:
+        np.testing.assert_allclose(guarded[i], base[i], atol=1e-5)
+    out = capsys.readouterr().out
+    assert "[batched]" in out and "ETA" in out
+
+
 def test_mesh_sharded_scorer_matches_unsharded(mesh8):
     """Cross-chip eval scoring: the mesh-sharded multiclass scorer must
     produce identical scores to the single-device path, including ragged

@@ -37,6 +37,8 @@ def run_policy_batched(
     pipeline_depth: int = 1,
     host_workers: int = 0,
     resume: bool = False,
+    gather_timeout: float = 0.0,
+    progress_every: float = 0.0,
     debug: bool = False,
 ):
     """Run all episodes with up to `max_concurrent` in flight.
@@ -66,6 +68,20 @@ def run_policy_batched(
     instance); results and DiskLogger writes stay on the calling
     thread. On a 1-core host this changes nothing but ordering of
     Python-level interleaving — results remain bit-identical.
+
+    `gather_timeout` > 0 is the device-stall watchdog (SURVEY section 5
+    "failure detection"): a gather that blocks past the timeout raises
+    instead of hanging the workload silently — motivated by a real
+    incident where a dropped TPU tunnel froze a 1,075-episode run for
+    80+ minutes with zero signal. The first gather is exempt (backends
+    may defer compile/warmup to first execution); steady-state fused
+    scoring is sub-second, so a generous timeout has no false positives.
+    Finished episodes are already in the DiskLogger shards, so the loud
+    failure composes with `resume=True` into crash-safe recovery.
+
+    `progress_every` > 0 prints done/total, rate, and ETA at most every
+    that many seconds (long workloads otherwise emit nothing until the
+    final summary).
     """
     log_folder = os.path.join(config.RESULT_LOCATION, name_from_config(config))
     logger = DiskLogger(log_folder, checkpoint_time=60 * 30)
@@ -112,6 +128,27 @@ def run_policy_batched(
                 logger.write(epind, stop.value)
         return True
 
+    import time
+
+    t_start = time.time()
+    done_initial = len(results)
+    total = len(results) + len(pending)
+    last_report = [t_start]
+
+    def maybe_report():
+        if not progress_every:
+            return
+        now = time.time()
+        if now - last_report[0] < progress_every:
+            return
+        done = len(results) - done_initial
+        rate = done / max(now - t_start, 1e-9)
+        left = total - len(results)
+        eta = left / rate / 60 if rate > 0 else float("inf")
+        print(f"[batched] {len(results)}/{total} episodes "
+              f"({rate:.3f} ep/s, ETA {eta:.1f} min)", flush=True)
+        last_report[0] = now
+
     if hasattr(scorer, "dispatch") and hasattr(scorer, "gather"):
         do_dispatch, do_gather = scorer.dispatch, scorer.gather
     else:
@@ -120,6 +157,44 @@ def run_policy_batched(
 
         def do_gather(handle):
             return handle
+
+    if gather_timeout and gather_timeout > 0:
+        # daemon worker (NOT a ThreadPoolExecutor: its non-daemon threads
+        # would block interpreter exit while parked inside the very hung
+        # gather the watchdog just reported)
+        import queue as _queue
+        import threading as _threading
+
+        req_q, res_q = _queue.Queue(), _queue.Queue()
+        inner_gather = do_gather
+
+        def _gather_worker():
+            while True:
+                h = req_q.get()
+                try:
+                    res_q.put((inner_gather(h), None))
+                except BaseException as e:  # surface scorer errors too
+                    res_q.put((None, e))
+
+        _threading.Thread(target=_gather_worker, daemon=True).start()
+        first_gather_done = [False]
+
+        def do_gather(handle):  # noqa: F811 — watchdog wrapper
+            req_q.put(handle)
+            try:
+                out, err = res_q.get(
+                    timeout=None if not first_gather_done[0] else gather_timeout)
+            except _queue.Empty:
+                raise RuntimeError(
+                    f"device gather stalled past {gather_timeout:.0f}s in "
+                    "steady state (normal fused scoring is sub-second) — "
+                    "device/tunnel failure suspected. Finished episodes "
+                    "are on disk; rerun with -r/--resume to continue."
+                ) from None
+            if err is not None:
+                raise err
+            first_gather_done[0] = True
+            return out
 
     def fuse_and_dispatch(cohort):
         # fuse the cohort's pending requests into ONE score call (a
@@ -188,6 +263,7 @@ def run_policy_batched(
             while len(c) < per_cohort and launch_into(c):
                 pass
             inflight[i] = fuse_and_dispatch(c)
+        maybe_report()
     if pool is not None:
         pool.shutdown()
     return results
