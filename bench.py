@@ -16,7 +16,30 @@ the number's provenance and the caveat).
 """
 
 import json
+import os
+import threading
 import time
+
+# Hang watchdog: a dropped axon tunnel blocks device init/execution
+# indefinitely (observed: an eval run frozen 80+ min mid-workload). If the
+# bench hasn't printed its line by the deadline, emit an honest error JSON
+# line and exit non-zero rather than hanging the harness. Generous bound:
+# a cold remote compile of the full step takes ~10 min.
+WATCHDOG_S = float(os.environ.get("VDQN_BENCH_WATCHDOG_S", 2700))
+_done = threading.Event()
+
+
+def _watchdog():
+    if not _done.wait(WATCHDOG_S):
+        print(json.dumps({
+            "metric": "qnet_train_frames_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "frames/sec/chip",
+            "vs_baseline": None,
+            "error": f"watchdog: no result after {WATCHDOG_S:.0f}s — "
+                     "TPU/tunnel unreachable or hung",
+        }), flush=True)
+        os._exit(2)
 
 # Measured 2026-08-16 on this host (1-core CPU, torch 2.13.0+cpu), batch 16:
 # see BASELINE.md "Measured baselines".
@@ -35,6 +58,7 @@ def _read_baseline():
 
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
 
     # persistent compile cache: the axon tunnel's remote compile of the
@@ -136,8 +160,10 @@ def main():
                 "mfu": mfu,
                 "flops_per_step": flops_per_step,
             }
-        )
+        ),
+        flush=True,
     )
+    _done.set()
 
 
 def _peak_flops(device) -> float:
