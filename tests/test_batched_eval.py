@@ -271,6 +271,23 @@ def test_batched_resume_skips_done_episodes(tmp_path):
     assert len(launched) == 2
 
 
+def test_bucketed_scorer_identity():
+    """Bucketed padding (12·2^k static shapes — O(log K) XLA programs
+    instead of one per ragged batch size) must be bit-identical to
+    unbucketed scoring: pad rows are sliced off."""
+    model, params, stats = make_model()
+    s_b = make_multiclass_scorer(model, params, stats, image_size=SIZE)
+    s_n = make_multiclass_scorer(model, params, stats, image_size=SIZE,
+                                 bucket=False)
+    rng = np.random.default_rng(0)
+    for n in (1, 5, 12, 13, 30):
+        imgs = rng.integers(0, 255, (n, SIZE, SIZE, 3), dtype=np.uint8)
+        cls = np.asarray(rng.integers(0, 5, n))
+        out_b, out_n = s_b(imgs, cls), s_n(imgs, cls)
+        assert out_b.shape == (n,)
+        np.testing.assert_allclose(out_b, out_n, atol=1e-6)
+
+
 def test_gather_watchdog_raises_on_stall(tmp_path):
     """A gather blocking past the timeout in steady state must raise
     loudly (device/tunnel stall) instead of hanging the workload; the

@@ -270,7 +270,7 @@ def run_policy_batched(
 
 
 def make_multiclass_scorer(model, params, batch_stats, image_size: int = 224,
-                           mesh=None):
+                           mesh=None, bucket: bool = True):
     """Scorer for the batched runner: (B, F, H, W, 3) uint8 + (B,) class
     indices -> (B,) max-over-actions Q of each view's own class, one
     forward for everything.
@@ -279,7 +279,14 @@ def make_multiclass_scorer(model, params, batch_stats, image_size: int = 224,
     params are replicated, so concurrent episodes' scoring runs
     data-parallel across chips (SURVEY section 2 "multi-device inference"
     stretch goal — the reference scores one view at a time on one GPU,
-    evaluate.py:110-114). Ragged batches are padded to the device count."""
+    evaluate.py:110-114). Ragged batches are padded to the device count.
+
+    `bucket` pads each ragged batch up to the next size in a geometric
+    family (12·2^k — 12 is a reasoning stop's view count) so XLA compiles
+    O(log K) programs instead of one per distinct in-flight batch size
+    (every cold compile through the axon tunnel costs minutes; static
+    shapes are the TPU idiom). Scores of pad rows are sliced off, so
+    results are bit-identical to unbucketed scoring."""
     import jax
     import jax.numpy as jnp
 
@@ -322,7 +329,13 @@ def make_multiclass_scorer(model, params, batch_stats, image_size: int = 224,
             x = x[:, None]
         c = np.asarray(cls, np.int32)
         b = x.shape[0]
-        pad = (-b) % n_shard
+        target = b
+        if bucket:
+            target = 12
+            while target < b:
+                target *= 2
+        target += (-target) % n_shard
+        pad = target - b
         if pad:
             x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
             c = np.concatenate([c, np.repeat(c[-1:], pad, axis=0)])
