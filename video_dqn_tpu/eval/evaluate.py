@@ -117,14 +117,37 @@ def fuse_detector_scores(
 ) -> np.ndarray:
     """Detector fusion: if the detector fires above threshold with a box
     touching the center third, add (conf + 1) — dominating the Q score
-    (reference evaluate.py:117-134). `detector(im, class_label)` returns
-    (boxes (N,4), scores (N,))."""
+    (reference evaluate.py:117-134).
+
+    Device batching: a stop's views are detected in ONE call through the
+    pipeline contract `detector(batch) -> [{boxes, scores, classes}]`
+    (the reference runs one blocking predictor forward per view,
+    :110-114; both in-tree detectors support the batch form). Detectors
+    exposing only the per-image eval contract `detector(im, class_label)
+    -> (boxes (N,4), scores (N,))` fall back to per-view calls — the
+    fusion math and results are identical either way."""
     out = scores.copy()
-    for i, im in enumerate(rgbs):
-        frame = im[0] if im.ndim == 4 else im
+    frames = [np.asarray(im) for im in rgbs]
+    frames = [im[0] if im.ndim == 4 else im for im in frames]
+    dets = None
+    try:
+        from video_dqn_tpu.data.detect import COCO_TARGET_IDS
+
+        cand = detector(np.stack(frames))
+        if (isinstance(cand, list) and len(cand) == len(frames)
+                and all(isinstance(d, dict) for d in cand)):
+            dets = cand
+            cid = COCO_TARGET_IDS[class_label]
+    except Exception:
+        dets = None
+    for i, frame in enumerate(frames):
         size = frame.shape[1]
         left_lim, right_lim = size // 3, (size * 2) // 3
-        boxes, dscores = detector(frame, class_label)
+        if dets is not None:
+            mask = dets[i]["classes"] == cid
+            boxes, dscores = dets[i]["boxes"][mask], dets[i]["scores"][mask]
+        else:
+            boxes, dscores = detector(frame, class_label)
         if len(dscores) > 0 and dscores.max() > confidence_threshold:
             box = boxes[int(np.argmax(dscores))]
             if box[0] <= right_lim or box[2] >= left_lim:
