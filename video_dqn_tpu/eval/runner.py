@@ -147,6 +147,9 @@ def run_policy(
         if epind in done:
             continue
         ep = episodes[epind]
+        # per-episode progress line (reference runner.py:67 prints
+        # EP_INDEX per episode under tqdm; long runs should not be silent)
+        print(f"EP_INDEX: {epind}/{len(episodes)}", flush=True)
         hn, floor, class_label, goal_dist, pos, rot = ep
         if house_name != hn:
             if env is not None:
