@@ -128,3 +128,21 @@ def test_parallel_decode_workers_propagate_errors(tmp_path):
     with pytest.raises(Exception):
         list(parallel_batches(kwargs, batch_size=8, num_workers=1,
                               n_samples=20))
+
+
+def test_normalize_platforms_keeps_cpu_backend_available():
+    """Regression: JAX_PLATFORMS=axon (env-provided) must not drop the
+    host CPU backend — host-pinned ops (ops/scans.label_video_host, the
+    dataset assembly path) require jax.local_devices(backend='cpu').
+    Accelerator-first lists gain cpu as a SECONDARY backend (first entry
+    still picks the default device); cpu-first lists pass through exactly
+    so a CPU-requested run never initializes the axon tunnel client."""
+    from video_dqn_tpu import _normalize_platforms
+
+    assert _normalize_platforms("axon") == "axon,cpu"
+    assert _normalize_platforms("tpu") == "tpu,cpu"
+    assert _normalize_platforms("axon,cpu") == "axon,cpu"
+    assert _normalize_platforms("cpu") == "cpu"
+    assert _normalize_platforms("cpu,axon") == "cpu,axon"
+    assert _normalize_platforms("") is None
+    assert _normalize_platforms(None) is None

@@ -21,6 +21,19 @@ Layout:
 __version__ = "0.1.0"
 
 
+def _normalize_platforms(want):
+    """Platform list to assert for a JAX_PLATFORMS env value (None/'' ->
+    None = leave config alone). Accelerator-first lists get 'cpu'
+    appended as a secondary backend; cpu-first lists pass through
+    untouched (see _honor_platform_env)."""
+    if not want:
+        return None
+    plats = [p.strip() for p in want.split(",") if p.strip()]
+    if plats and plats[0] != "cpu" and "cpu" not in plats:
+        plats.append("cpu")
+    return ",".join(plats)
+
+
 def _honor_platform_env():
     """Make `JAX_PLATFORMS=cpu python <any CLI>` actually select CPU.
 
@@ -34,10 +47,19 @@ def _honor_platform_env():
     backend init in every CLI); tests/conftest.py does the same thing
     for the test suite. No-op when JAX_PLATFORMS is unset or jax is
     absent, and harmless if backends are somehow already initialized
-    (config.update only steers future inits)."""
+    (config.update only steers future inits).
+
+    One asymmetry: when the env selects an accelerator ("axon", "tpu"),
+    keep "cpu" appended as a *secondary* backend — host-pinned ops
+    (ops/scans.label_video_host, dataset assembly) need
+    ``jax.local_devices(backend="cpu")``, and a platform list's first
+    entry still decides the default device, so this changes nothing
+    else. The reverse case must stay exact: "cpu" (first) means *never
+    initialize the axon client* — it blocks indefinitely whenever
+    another process holds the single tunnel."""
     import os
 
-    want = os.environ.get("JAX_PLATFORMS")
+    want = _normalize_platforms(os.environ.get("JAX_PLATFORMS"))
     if not want:
         return
     try:
