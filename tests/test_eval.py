@@ -191,6 +191,65 @@ def test_fuse_detector_batched_matches_per_image():
     assert (batched != scores).any()
 
 
+def test_fuse_detector_genuine_errors_propagate():
+    """A real detector failure (OOM, shape bug, bad weights) must surface,
+    not be silently retried down the per-image path (round-3 Weak #2: the
+    old blanket `except Exception` masked everything). Only TypeError — the
+    signature-mismatch class — may trigger the one-time per-image fallback,
+    and the contract verdict is cached so later stops run unguarded."""
+    from video_dqn_tpu.eval.evaluate import fuse_detector_scores
+
+    rng = np.random.default_rng(0)
+    rgbs = [rng.integers(0, 255, (48, 48, 3), dtype=np.uint8) for _ in range(3)]
+    scores = rng.normal(size=3)
+
+    class Exploding:
+        def __call__(self, images, class_label=None):
+            raise ValueError("bad weights: NaN box regressions")
+
+    with pytest.raises(ValueError, match="bad weights"):
+        fuse_detector_scores(scores, rgbs, Exploding(), "bed", 0.5)
+
+    class Malformed:
+        """Accepts a batch but returns garbage — must fail loudly, not
+        silently degrade to 12x per-image calls."""
+
+        def __call__(self, images, class_label=None):
+            return np.zeros(len(images))
+
+    with pytest.raises(TypeError, match="batch contract"):
+        fuse_detector_scores(scores, rgbs, Malformed(), "bed", 0.5)
+
+    class CountingPerImage:
+        """Per-image contract behind a batch-shaped signature: TypeError on
+        the probe (once), then cached — no re-probing on later stops."""
+
+        batch_attempts = 0
+
+        def __call__(self, images, class_label=None):
+            if class_label is None:
+                type(self).batch_attempts += 1
+                raise TypeError("per-image only")
+            return np.zeros((0, 4), np.float32), np.zeros(0, np.float32)
+
+    det = CountingPerImage()
+    fuse_detector_scores(scores, rgbs, det, "bed", 0.5)
+    fuse_detector_scores(scores, rgbs, det, "bed", 0.5)
+    assert CountingPerImage.batch_attempts == 1
+    assert det._vdqn_batch_contract is False
+
+    class TwoArg:
+        """>= 2 required positional args: classified per-image by signature
+        alone — the batch probe must never run."""
+
+        def __call__(self, image, class_label):
+            assert class_label is not None
+            return np.zeros((0, 4), np.float32), np.zeros(0, np.float32)
+
+    out = fuse_detector_scores(scores, rgbs, TwoArg(), "bed", 0.5)
+    np.testing.assert_array_equal(out, scores)
+
+
 def test_run_policy_combine_detector_from_config(tmp_path, monkeypatch):
     """An eval run with COMBINE_DETECTOR: True + DETECTOR_WEIGHTS: 'stub'
     exercises fuse_detector_scores through run_policy with ZERO code

@@ -112,6 +112,75 @@ def make_geodesic_scorer(env) -> Callable:
     return scorer
 
 
+def _detector_batch_contract(detector, frames) -> Optional[List[Dict]]:
+    """Resolve (once per detector object) whether `detector` speaks the
+    pipeline batch contract `detector(batch) -> [{boxes, scores, classes}]`
+    and, if so, return this stop's batched detections.
+
+    Resolution order:
+      1. signature probe — a callable with >= 2 required positional args is
+         the per-image eval contract `detector(im, class_label)`; never try
+         the batch call on it.
+      2. one-time guarded probe — the FIRST batch call per detector catches
+         ONLY TypeError (the signature-mismatch class) and validates the
+         result structure; the verdict is cached on the detector.
+      3. every later call is UNGUARDED: genuine detector failures (OOM,
+         shape bugs, bad weights — ValueError/XlaRuntimeError/etc.)
+         propagate instead of being silently retried down the per-image
+         path (the reference's predictor call is likewise unguarded,
+         /root/reference/evaluation/evaluate.py:117-134)."""
+    cached = getattr(detector, "_vdqn_batch_contract", None)
+    if cached is False:
+        return None
+    if cached is True:
+        return detector(np.stack(frames))
+
+    import inspect
+
+    batch_capable = True
+    try:
+        sig = inspect.signature(detector)
+        required = [
+            p
+            for p in sig.parameters.values()
+            if p.default is inspect.Parameter.empty
+            and p.kind
+            in (
+                inspect.Parameter.POSITIONAL_ONLY,
+                inspect.Parameter.POSITIONAL_OR_KEYWORD,
+            )
+        ]
+        batch_capable = len(required) <= 1
+    except (TypeError, ValueError):
+        pass  # signature unavailable (builtins); fall through to the probe
+
+    dets = None
+    if batch_capable:
+        try:
+            cand = detector(np.stack(frames))
+        except TypeError:
+            batch_capable = False
+        else:
+            if (
+                isinstance(cand, list)
+                and len(cand) == len(frames)
+                and all(isinstance(d, dict) for d in cand)
+            ):
+                dets = cand
+            else:
+                raise TypeError(
+                    "detector accepted a batch but returned "
+                    f"{type(cand).__name__}, not a list of per-image dicts "
+                    "({boxes, scores, classes}); fix the detector's batch "
+                    "contract or give it a (im, class_label) signature"
+                )
+    try:
+        detector._vdqn_batch_contract = batch_capable
+    except (AttributeError, TypeError):
+        pass  # uncacheable callable; re-probe next stop
+    return dets
+
+
 def fuse_detector_scores(
     scores: np.ndarray, rgbs, detector, class_label: str, confidence_threshold: float
 ) -> np.ndarray:
@@ -124,22 +193,18 @@ def fuse_detector_scores(
     (the reference runs one blocking predictor forward per view,
     :110-114; both in-tree detectors support the batch form). Detectors
     exposing only the per-image eval contract `detector(im, class_label)
-    -> (boxes (N,4), scores (N,))` fall back to per-view calls — the
-    fusion math and results are identical either way."""
+    -> (boxes (N,4), scores (N,))` take per-view calls instead — the
+    contract is resolved ONCE per detector (`_detector_batch_contract`)
+    and genuine detector errors propagate on both paths; the fusion math
+    and results are identical either way."""
+    from video_dqn_tpu.data.detect import COCO_TARGET_IDS
+
     out = scores.copy()
     frames = [np.asarray(im) for im in rgbs]
     frames = [im[0] if im.ndim == 4 else im for im in frames]
-    dets = None
-    try:
-        from video_dqn_tpu.data.detect import COCO_TARGET_IDS
-
-        cand = detector(np.stack(frames))
-        if (isinstance(cand, list) and len(cand) == len(frames)
-                and all(isinstance(d, dict) for d in cand)):
-            dets = cand
-            cid = COCO_TARGET_IDS[class_label]
-    except Exception:
-        dets = None
+    dets = _detector_batch_contract(detector, frames)
+    if dets is not None:
+        cid = COCO_TARGET_IDS[class_label]
     for i, frame in enumerate(frames):
         size = frame.shape[1]
         left_lim, right_lim = size // 3, (size * 2) // 3
