@@ -241,6 +241,97 @@ def test_multichip_sharding_applied(mesh8):
     assert k2.sharding.spec == k.sharding.spec
 
 
+def _run_steps_on_mesh(mesh, cfg, batches):
+    """Fresh identical init (key(0)), jit on `mesh`, run len(batches) steps;
+    returns (per-step losses, final host state)."""
+    model, state, tx = make_small(cfg)
+    step_fn, state, _ = jit_train_step(model, cfg, tx, mesh, state)
+    from video_dqn_tpu.parallel import shard_batch
+
+    losses = []
+    for b in batches:
+        state, metrics = step_fn(state, shard_batch(mesh, b))
+        losses.append(float(jax.device_get(metrics["loss"])))
+    return losses, jax.device_get(state)
+
+
+def test_sharded_step_matches_single_device(mesh8):
+    """Numerical-equivalence certificate for the sharded train step
+    (round-3 Weak #1): N steps spanning a target-sync boundary on the
+    single-device mesh, 8x1 (pure dp), and 4x2 (dp+tp) meshes from
+    identical state and batches must produce the same per-step losses and
+    the same updated params/targets/opt state — the sharding may only
+    change WHERE the math runs, never the answer (up to float reduction
+    order in the psum)."""
+    from video_dqn_tpu.parallel import make_mesh
+
+    cfg = tiny_config(
+        LOSS_CLIP="rect", GAMMA=0.99, TARGET_UPDATE_INTERVAL=2,
+        **{"TPU.MESH_MODEL": 2},
+    )
+    batches = [small_batch(b=8, seed=i) for i in range(3)]
+
+    mesh1 = make_mesh(1, 1, devices=jax.devices()[:1])
+    mesh_dp = make_mesh(8, 1)
+    losses1, final1 = _run_steps_on_mesh(mesh1, cfg, batches)
+    losses_dp, final_dp = _run_steps_on_mesh(mesh_dp, cfg, batches)
+    losses_tp, final_tp = _run_steps_on_mesh(mesh8, cfg, batches)
+
+    # step 2 crossed the sync boundary: targets must have been refreshed
+    tk1 = final1.target_params["top_dense1"]["kernel"]
+    assert not np.allclose(
+        tk1, jax.device_get(make_small(cfg)[1].target_params["top_dense1"]["kernel"])
+    ), "test never crossed a target-sync boundary"
+
+    # Tolerances: the data-sharded gradient mean is a psum of per-shard
+    # partial sums, so float32 reduction order differs from the single
+    # device's flat sum — observed |dloss| ~2e-5 on a loss of 5.3 here.
+    # Params are compared as the relative L2 of the UPDATE (final - init):
+    # element-wise comparison after Adam is meaningless for near-zero-
+    # gradient elements (reduction noise flips the gradient sign and Adam's
+    # m/sqrt(nu) normalization turns that into a full +/-lr step — measured
+    # 94/294912 elements at 2e-3); the update-norm metric reads ~2% under
+    # that noise while a genuine sharding bug (stale shard, wrong batch
+    # slice, missed sync) reads ~70-100%.
+    init = jax.device_get(make_small(cfg)[1])
+    for name, losses, final in [("8x1", losses_dp, final_dp),
+                                ("4x2", losses_tp, final_tp)]:
+        np.testing.assert_allclose(losses, losses1, rtol=1e-4, atol=5e-5,
+                                   err_msg=f"per-step losses diverge on {name}")
+        for field in ("params", "target_params"):
+            deltas1, deltas = [], []
+            for la, lb, li in zip(
+                jax.tree_util.tree_leaves(getattr(final1, field)),
+                jax.tree_util.tree_leaves(getattr(final, field)),
+                jax.tree_util.tree_leaves(getattr(init, field)),
+            ):
+                da = np.asarray(la, np.float64) - np.asarray(li, np.float64)
+                db = np.asarray(lb, np.float64) - np.asarray(li, np.float64)
+                deltas1.append(da.ravel())
+                deltas.append(db.ravel())
+                denom = np.linalg.norm(da)
+                if denom < 1e-10:  # leaf the optimizer never moved
+                    assert np.linalg.norm(db) < 1e-7, (name, field)
+                else:
+                    # per-leaf bound: measured noise peaks at 6.7% on
+                    # frozen-BN trunk biases (near-zero grads)
+                    rel = np.linalg.norm(db - da) / denom
+                    assert rel < 0.25, (name, field, rel)
+            # whole-tree bound: measured noise 2.0%; a stale shard or
+            # wrong batch slice reads 70-100%
+            a = np.concatenate(deltas1)
+            b = np.concatenate(deltas)
+            rel = np.linalg.norm(b - a) / np.linalg.norm(a)
+            assert rel < 0.05, (name, field, rel)
+        # frozen-BN arch: stats must be bit-identical to init on every mesh
+        for lb, li in zip(jax.tree_util.tree_leaves(final.batch_stats),
+                          jax.tree_util.tree_leaves(init.batch_stats)):
+            np.testing.assert_array_equal(lb, li)
+        np.testing.assert_allclose(final.ema_loss, final1.ema_loss,
+                                   rtol=1e-4, atol=5e-5)
+        assert int(final.step) == int(final1.step) == 3
+
+
 def test_backbone_weights_graft(tmp_path):
     """BACKBONE_WEIGHTS initializes the backbone params AND batch_stats from
     a torchvision-format state dict (ADVICE round 1: the reference always
