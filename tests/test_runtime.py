@@ -1,5 +1,7 @@
-"""Runtime plumbing tests: host->HBM prefetcher and the profiling timer."""
+"""Runtime plumbing tests: host->HBM prefetcher, the profiling timer,
+and the multi-host (two-process) distributed backend."""
 
+import os
 import time
 
 import numpy as np
@@ -146,3 +148,67 @@ def test_normalize_platforms_keeps_cpu_backend_available():
     assert _normalize_platforms("cpu,axon") == "cpu,axon"
     assert _normalize_platforms("") is None
     assert _normalize_platforms(None) is None
+
+
+@pytest.mark.slow
+def test_multihost_two_process_train_step(tmp_path):
+    """SURVEY section-5 distributed backend, executed for REAL: two
+    coordinated OS processes (jax.distributed + gloo CPU collectives, 4
+    virtual devices each) form one 8-device (4x2) global mesh, each feeds
+    only its own half of the global batch (multihost.global_batch_slice +
+    make_global_array), and both run one full double-DQN train step. The
+    replicated loss must come back identical on both processes — the proof
+    that the DCN-spanning mesh computes one global program rather than two
+    disjoint ones. (Round-3 Missing #3: this path had never executed with
+    more than one process.)"""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    # the smoke forces its own virtual-CPU platform; scrub this suite's
+    # 8-device XLA_FLAGS so each child provisions exactly 4
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("JAX_PLATFORM_NAME", None)
+
+    def spawn(pid):
+        return subprocess.Popen(
+            [sys.executable, "-m", "video_dqn_tpu.parallel.multihost_smoke",
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid)],
+            cwd=repo, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+
+    procs = [spawn(0), spawn(1)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+
+    losses = []
+    for pid, out in enumerate(outs):
+        lines = [l for l in out.splitlines() if l.startswith("MULTIHOST_LOSS")]
+        assert len(lines) == 1, out[-2000:]
+        assert f"process={pid}/2" in lines[0]
+        assert "mesh=(4x2)" in lines[0]
+        losses.append(float(lines[0].split("loss=")[1]))
+    assert np.isfinite(losses[0])
+    assert losses[0] == losses[1], losses
+    # primary gating: only process 0 runs primary_only side effects
+    assert "MULTIHOST_PRIMARY_OK" in outs[0]
+    assert "MULTIHOST_PRIMARY_OK" not in outs[1]

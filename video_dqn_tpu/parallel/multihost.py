@@ -62,6 +62,37 @@ def primary_only(fn: Callable) -> Callable:
     return wrapper
 
 
+def make_global_array(sharding, global_shape, local_data, start: int):
+    """Assemble a globally-sharded jax.Array from THIS process's slice of
+    the batch (rows [start, start+len(local_data)) of the global array).
+
+    Built on jax.make_array_from_callback so it stays correct when shards
+    are replicated along the model axis (jax 0.9's
+    make_array_from_process_local_data double-counts replicated shards as
+    distinct addressed elements and rejects the per-process slice). The
+    callback asserts every requested shard lies inside this process's
+    slice — feeding the wrong slice fails loudly instead of training on
+    misaligned data."""
+    import jax
+    import numpy as np
+
+    local = np.asarray(local_data)
+    stop = start + local.shape[0]
+
+    def cb(index):
+        s0 = index[0]
+        lo = 0 if s0.start is None else s0.start
+        hi = global_shape[0] if s0.stop is None else s0.stop
+        assert start <= lo and hi <= stop, (
+            f"shard rows [{lo}, {hi}) outside this process's slice "
+            f"[{start}, {stop}) — global_batch_slice and the mesh layout "
+            f"disagree"
+        )
+        return local[(slice(lo - start, hi - start),) + tuple(index[1:])]
+
+    return jax.make_array_from_callback(tuple(global_shape), sharding, cb)
+
+
 def global_batch_slice(global_batch_size: int):
     """(start, size) of this process's shard of a globally-sharded batch:
     each host feeds its slice; jax.make_array_from_process_local_data or
