@@ -1,5 +1,7 @@
 """Visualization + utils + canonical-planner tests."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -168,3 +170,58 @@ def test_virtual_steps_near_goal_reward():
     rew, states = p._virtual_steps([FORWARD], (5.0, 10.0, 0.0))
     # moved 5 cells toward goal (7 away -> 2 away): -(2-7) + 1 near-goal
     assert rew > 5.0
+
+
+def test_vis_panorama_correlation_analysis(tmp_path):
+    """The value/distance correlation analysis (reference
+    visualize_panorama.py:70-215): a scorer whose per-class view values
+    ARE each heading's geodesic distance-drop must correlate at exactly
+    +1 for every class, an anti-correlated scorer at -1, and the figure
+    file must be written. Probe geometry is validated independently: the
+    test replays the same rotate+forward-step probes to compute the
+    expected dist-diffs before handing them to the scorer."""
+    import math
+
+    from video_dqn_tpu.sim.fake_env import FakeNavEnv
+    from video_dqn_tpu.viz.panorama import min_dists, vis_panorama
+
+    env = FakeNavEnv(image_size=48, seed=3)
+    env.reset(reachable=False)
+    goals_by_class = [[env.sample_reachable_goal()] for _ in range(5)]
+
+    # independently replay the probe: for each heading, one forward step
+    pos, rot = env.agent_state()
+    base = min_dists(env, goals_by_class, pos)
+    expected = []
+    for k in range(12):
+        env.set_agent_state(pos, rot + 2 * math.pi * k / 12)
+        for _ in range(4):
+            env.step(0)
+        expected.append(base - min_dists(env, goals_by_class))
+        env.set_agent_state(pos, rot)
+    expected = np.stack(expected)  # (12, 5)
+    assert expected.std(axis=0).min() > 0, "probe saw no distance variation"
+
+    out = str(tmp_path / "corr.png")
+    fig, corrs = vis_panorama(
+        env, lambda views: 2.0 * expected + 7.0, goals_by_class,
+        num=12, class_names=["a", "b", "c", "d", "e"], out_path=out,
+        probe_steps=4,
+    )
+    np.testing.assert_allclose(corrs, np.ones(5), atol=1e-9)
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    # agent restored
+    p2, r2 = env.agent_state()
+    np.testing.assert_array_equal(p2, pos)
+    assert r2 == rot
+
+    _, anti = vis_panorama(env, lambda v: -expected, goals_by_class, num=12,
+                           probe_steps=4)
+    np.testing.assert_allclose(anti, -np.ones(5), atol=1e-9)
+
+    # a class with NO goals (inf distances) gets corr NaN, not a crash
+    _, part = vis_panorama(
+        env, lambda v: expected[:, :2], [goals_by_class[0], []], num=12,
+        probe_steps=4,
+    )
+    assert np.isclose(part[0], 1.0) and np.isnan(part[1])
