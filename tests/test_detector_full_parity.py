@@ -37,9 +37,16 @@ from tests.torch_ref_detector import (
 )
 
 # small config: identical shape of every selection step, cheap numpy oracle
-HP = dict(pre_nms_topk=50, post_nms_topk=20, num_proposals=16,
-          max_detections=8, rpn_nms_thresh=0.7, box_score_thresh=0.05,
-          box_nms_thresh=0.5, num_classes=91)
+TOY_HP = dict(pre_nms_topk=50, post_nms_topk=20, num_proposals=16,
+              max_detections=8, det_candidates=32, rpn_nms_thresh=0.7,
+              box_score_thresh=0.05, box_nms_thresh=0.5, num_classes=91)
+# the SHIPPING configuration (torchvision maskrcnn_resnet50_fpn test-time
+# semantics, the engine behind the reference's detector pass) — the
+# MaskRCNN class defaults; round-3 Missing #1 asked for parity HERE
+PROD_HP = dict(pre_nms_topk=1000, post_nms_topk=1000, num_proposals=1000,
+               max_detections=100, det_candidates=1000, rpn_nms_thresh=0.7,
+               box_score_thresh=0.05, box_nms_thresh=0.5, num_classes=91)
+HP = TOY_HP  # default for the fast pipeline-stage test below
 
 
 @pytest.fixture(scope="module")
@@ -93,7 +100,7 @@ def topk_stable(scores, k):
     return np.argsort(-scores, kind="stable")[:k]
 
 
-def oracle_forward(mods, image_hwc):
+def oracle_forward(mods, image_hwc, HP):
     """The assembled inference pipeline in torch modules + numpy glue,
     hyperparameter-for-hyperparameter the MaskRCNN.__call__ algorithm."""
     body, fpn, rpn, box = mods
@@ -155,7 +162,7 @@ def oracle_forward(mods, image_hwc):
         H, W)
     cand_scores = np.where(cand_scores > HP["box_score_thresh"],
                            cand_scores, -np.inf)
-    k2 = min(4 * HP["max_detections"], len(cand_scores))
+    k2 = min(HP["det_candidates"], len(cand_scores))
     ti = topk_stable(cand_scores, k2)
     boxes2, scores2, classes2 = cand_boxes[ti], cand_scores[ti], cand_classes[ti]
     offset = classes2[:, None] * (boxes2.max() + 1.0)
@@ -201,19 +208,47 @@ def test_detection_pass_with_flax_detector(shared_weights, rng, tmp_path):
     assert os.path.exists(tmp_path / "det.npy")
 
 
-def test_full_maskrcnn_parity(shared_weights, rng):
+@pytest.mark.parametrize(
+    "hp,size",
+    [
+        pytest.param(TOY_HP, 128, id="toy-128px"),
+        pytest.param(PROD_HP, 320, id="production-320px",
+                     marks=pytest.mark.slow),
+    ],
+)
+def test_full_maskrcnn_parity(shared_weights, rng, hp, size):
     mods, sd = shared_weights
     params, stats = convert_maskrcnn(sd)
-    model = MaskRCNN(dtype=jnp.float32, **{k: v for k, v in HP.items()
+    model = MaskRCNN(dtype=jnp.float32, **{k: v for k, v in hp.items()
                                            if k != "num_classes"})
-    # smooth structured image: conv outputs vary smoothly so selection
-    # boundaries sit on clear score gaps, not float-noise ties
-    yy, xx = np.mgrid[0:128, 0:128].astype(np.float32) / 128.0
-    img = np.stack([np.sin(4 * yy) * np.cos(3 * xx), yy * xx,
-                    np.cos(5 * (yy - xx))], -1)
+    if hp is PROD_HP:
+        # the production case must run at the class DEFAULTS — a default
+        # drift (e.g. the old num_proposals=256) fails here, not silently
+        default = MaskRCNN()
+        for k, v in hp.items():
+            if k != "num_classes":
+                assert getattr(default, k) == v, (k, getattr(default, k), v)
+    # structured image with IRREGULAR content: conv outputs must vary
+    # strongly and aperiodically across positions, or the candidate pool
+    # fills with near-tied duplicates (a stride-periodic or too-smooth
+    # image makes coarse-level features repeat; greedy NMS then picks
+    # arbitrary members of tied families and no float32 comparison can be
+    # exact). Incommensurate low-frequency base + random anisotropic
+    # Gaussian blobs give every proposal region distinct content.
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    img = np.stack([np.sin(4.3 * yy + 0.31) * np.cos(2.7 * xx + 1.1),
+                    yy * xx + 0.5 * (yy - 0.37) ** 2,
+                    np.cos(5.1 * (yy - 0.62 * xx))], -1)
+    for _ in range(25):
+        cy, cx = rng.random(2) * size
+        sy, sx = 8 + rng.random(2) * 0.15 * size
+        amp = rng.standard_normal(3) * 1.2
+        blob = np.exp(-(((np.mgrid[0:size][:, None] - cy) / sy) ** 2
+                        + ((np.mgrid[0:size][None, :] - cx) / sx) ** 2))
+        img += blob[..., None].astype(np.float32) * amp.astype(np.float32)
     img += 0.05 * rng.standard_normal(img.shape).astype(np.float32)
 
-    want = oracle_forward(mods, img)
+    want = oracle_forward(mods, img, hp)
     out = model.apply({"params": params, "batch_stats": stats},
                       jnp.asarray(img))
     valid = np.asarray(out["valid"])
@@ -223,6 +258,38 @@ def test_full_maskrcnn_parity(shared_weights, rng):
 
     assert len(want["scores"]) > 0, "vacuous: oracle found no detections"
     assert len(got_scores) == len(want["scores"])
-    np.testing.assert_array_equal(got_classes, want["classes"])
-    np.testing.assert_allclose(got_scores, want["scores"], atol=2e-3)
-    np.testing.assert_allclose(got_boxes, want["boxes"], atol=0.5)
+    if hp is PROD_HP:
+        # at 1000 proposals the random-weight candidate scores sit ~2e-4
+        # apart with near-ties at ~2e-7 — below the f32 torch-vs-XLA conv
+        # noise — so rank ORDER churns while the detection SET is stable.
+        # Certify by one-to-one matching: every flax detection must have a
+        # distinct oracle twin with the same class, score within 3e-3, and
+        # box within 1 px. Real glue bugs (wrong threshold, decode
+        # weights, clip, NMS semantics) shift scores/boxes by orders more.
+        np.testing.assert_array_equal(np.sort(got_classes),
+                                      np.sort(want["classes"]))
+        np.testing.assert_allclose(np.sort(got_scores),
+                                   np.sort(want["scores"]), atol=3e-3)
+        unused = list(range(len(want["scores"])))
+        unmatched = []
+        for gb, gs, gc in zip(got_boxes, got_scores, got_classes):
+            match = [
+                j for j in unused
+                if want["classes"][j] == gc
+                and abs(want["scores"][j] - gs) < 3e-3
+                and np.abs(want["boxes"][j] - gb).max() < 1.0
+            ]
+            if match:
+                unused.remove(match[0])
+            else:
+                unmatched.append((gc, gs, gb))
+        # a near-tie rank swap flips which of two ~equal candidates greedy
+        # NMS visits first, and the two then suppress DIFFERENT boxes — so
+        # up to a couple of detections may genuinely differ between two
+        # float32 executions (torchvision shows the same churn across
+        # cuDNN builds). A systematic glue bug unmatches most of the set.
+        assert len(unmatched) <= max(2, len(got_scores) // 50), unmatched
+    else:
+        np.testing.assert_array_equal(got_classes, want["classes"])
+        np.testing.assert_allclose(got_scores, want["scores"], atol=2e-3)
+        np.testing.assert_allclose(got_boxes, want["boxes"], atol=0.5)

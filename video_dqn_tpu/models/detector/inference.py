@@ -28,6 +28,7 @@ class FlaxDetector:
             return jax.vmap(lambda im: model.apply(variables, im))(x)
 
         self._run = run
+        self._device_get = jax.device_get
         self.score_thresh = score_thresh
 
     def __call__(self, images, class_label: Optional[str] = None):
@@ -35,17 +36,19 @@ class FlaxDetector:
         single = images.ndim == 3
         if single:
             images = images[None]
-        out = self._run(images)
+        # ONE d2h transfer of the whole output tree: indexing jax arrays
+        # per image/per field dispatched up to 4*B separate device slices
+        # + transfers, each paying the tunnel round-trip (measured 2.3
+        # s/stop at 12 views over axon; sub-ms device compute)
+        out = self._device_get(self._run(images))
         results: List[Dict] = []
         for i in range(images.shape[0]):
-            valid = np.asarray(out["valid"][i]) & (
-                np.asarray(out["scores"][i]) > self.score_thresh
-            )
+            valid = out["valid"][i] & (out["scores"][i] > self.score_thresh)
             results.append(
                 {
-                    "boxes": np.asarray(out["boxes"][i])[valid],
-                    "scores": np.asarray(out["scores"][i])[valid],
-                    "classes": np.asarray(out["classes"][i])[valid],
+                    "boxes": out["boxes"][i][valid],
+                    "scores": out["scores"][i][valid],
+                    "classes": out["classes"][i][valid],
                 }
             )
         if class_label is not None:

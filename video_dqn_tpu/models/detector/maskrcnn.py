@@ -136,16 +136,33 @@ class MaskHead(nn.Module):
 
 
 class MaskRCNN(nn.Module):
+    """Production defaults match torchvision maskrcnn_resnet50_fpn
+    test-time semantics (the engine the reference runs,
+    detect_real_videos.py:30-35): rpn_pre_nms_top_n_test=1000 per level,
+    rpn_post_nms_top_n_test=1000 merged ACROSS levels, and ALL merged
+    post-NMS proposals feed the ROI heads (num_proposals == post_nms_topk
+    — an earlier 256 default silently truncated them; round-3 Missing #1).
+
+    One documented static-shape deviation remains: torchvision's final
+    per-class NMS consumes every candidate above box_score_thresh
+    (R x 90 ~= 90k rows), which has no static bound. Here the top
+    `det_candidates` (by score) enter the final NMS; with the 1000
+    default, a top-100 detection can only be lost if NMS suppresses >90%
+    of the 1000 best-scoring candidates first — certified at these
+    defaults against the composed torch/numpy mirror in
+    tests/test_detector_full_parity.py (production-HP case)."""
+
     num_classes: int = 91
     dtype: Dtype = jnp.float32
     with_masks: bool = False
     pre_nms_topk: int = 1000
     post_nms_topk: int = 1000
     rpn_nms_thresh: float = 0.7
-    num_proposals: int = 256     # proposals kept into the ROI heads
+    num_proposals: int = 1000    # proposals kept into the ROI heads
     box_score_thresh: float = 0.05
     box_nms_thresh: float = 0.5
     max_detections: int = 100
+    det_candidates: int = 1000   # score-ranked candidates entering final NMS
 
     @nn.compact
     def __call__(self, image):  # (H, W, 3) float, ImageNet-normalized
@@ -201,8 +218,10 @@ class MaskRCNN(nn.Module):
         cand_boxes = clip_boxes(cand_boxes, h, w)
         cand_scores = jnp.where(cand_scores > self.box_score_thresh,
                                 cand_scores, -jnp.inf)
-        # keep a bounded candidate set before the final NMS
-        k2 = min(4 * self.max_detections, cand_scores.shape[0])
+        # bounded candidate set before the final NMS (see class docstring:
+        # torchvision takes all ~R*90 above-threshold rows; static shapes
+        # need a bound, det_candidates=1000 by default)
+        k2 = min(self.det_candidates, cand_scores.shape[0])
         top_s, top_i = jax.lax.top_k(cand_scores, k2)
         keep, valid = batched_class_nms(
             cand_boxes[top_i], top_s, cand_classes[top_i],
