@@ -77,19 +77,43 @@ def main():
     )
     step_fn, state, _ = jit_train_step(model, cfg, tx, mesh, state)
 
-    worker_counts = [args.workers] if args.workers is not None else [0, 1, 2]
-    for n_workers in worker_counts:
+    # (workers, transport, ram_cache) — transport: shm = shared-memory
+    # ring (one parent-side copy), pipe = pickle through mp.Queue (~3
+    # copies of the ~77 MB payload); ram_cache = decoded-frame cache so
+    # epochs >= 2 skip JPEG decode entirely (timed warm)
+    if args.workers is not None:
+        configs = [(args.workers, "shm", False)]
+    else:
+        configs = [
+            (0, None, False),
+            (0, None, True),
+            (1, "shm", False),
+            (2, "shm", False),
+            (1, "pipe", False),
+            (1, "shm", True),
+            (2, "shm", True),
+        ]
+    import math
+
+    for n_workers, transport, ram_cache in configs:
+        kw = dict(kwargs)
+        if ram_cache:
+            kw["cache_bytes"] = 2 << 30
         if n_workers == 0:
-            batcher = QLearningBatcher(**kwargs)
+            batcher = QLearningBatcher(**kw)
             stream = batcher.batches(args.batch)
         else:
-            stream = parallel_batches(kwargs, args.batch,
-                                      num_workers=n_workers, seed=0)
+            stream = parallel_batches(kw, args.batch,
+                                      num_workers=n_workers, seed=0,
+                                      transport=transport)
         batches = prefetch_to_device(stream, sharding=batch_sharding(mesh),
                                      depth=2)
         it = iter(batches)
-        # warmup: compile + fill the pipeline
-        for _ in range(2):
+        # warmup: compile + fill the pipeline; cache rows additionally
+        # cover the dataset so the timed window measures the WARM cache
+        warmup = 2 + (2 * math.ceil(args.rows / args.batch) + 2
+                      if ram_cache else 0)
+        for _ in range(warmup):
             state, m = step_fn(state, next(it))
         jax.block_until_ready(m["loss"])
         t0 = time.perf_counter()
@@ -104,10 +128,12 @@ def main():
             "value": round(fps, 1),
             "unit": "frames/sec",
             "decode_workers": n_workers,
+            "transport": transport,
+            "ram_cache": ram_cache,
             "batch": args.batch,
             "image_size": args.image_size,
             "host_cores": os.cpu_count(),
-        }))
+        }), flush=True)
 
 
 if __name__ == "__main__":

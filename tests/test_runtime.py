@@ -99,18 +99,55 @@ def test_parallel_decode_workers_deterministic(tmp_path):
     kwargs = dict(location=feather, one_action=True, inverse_actions=True,
                   image_size=32, seed=5)
 
-    stream = parallel_batches(kwargs, batch_size=4, num_workers=2, seed=7,
-                              n_samples=6)
-    got = list(stream)
-    assert len(got) == 6
-
     ref_batcher = QLearningBatcher(**kwargs)
-    rng = np.random.default_rng(7)
-    for batch in got:
-        idx = rng.integers(0, len(ref_batcher), 4)
-        expect = ref_batcher.get_batch(indices=idx)
-        np.testing.assert_array_equal(batch["before"], expect["before"])
-        np.testing.assert_array_equal(batch["action"], expect["action"])
+    # both transports (shared-memory ring and pickle/pipe) must emit the
+    # bit-identical same-seed stream as one-process decoding
+    for transport in ("shm", "pipe"):
+        stream = parallel_batches(kwargs, batch_size=4, num_workers=2,
+                                  seed=7, n_samples=6, transport=transport)
+        got = list(stream)
+        assert len(got) == 6
+        rng = np.random.default_rng(7)
+        for batch in got:
+            idx = rng.integers(0, len(ref_batcher), 4)
+            expect = ref_batcher.get_batch(indices=idx)
+            np.testing.assert_array_equal(batch["before"], expect["before"])
+            np.testing.assert_array_equal(batch["after"], expect["after"])
+            np.testing.assert_array_equal(batch["action"], expect["action"])
+            np.testing.assert_array_equal(batch["reward"], expect["reward"])
+
+
+def test_decode_cache_budget(tmp_path):
+    """cache_bytes: decoded frames are served from RAM on later epochs,
+    insertion stops at the budget (no eviction thrash), and cached batches
+    are bit-identical to decoded ones."""
+    from video_dqn_tpu.data.qlearning import QLearningBatcher
+    from video_dqn_tpu.data.synthetic import make_synthetic_dataset
+
+    feather = make_synthetic_dataset(str(tmp_path / "ds"), num_videos=2,
+                                     frames_per_video=16, image_size=32)
+    kwargs = dict(location=feather, one_action=True, inverse_actions=True,
+                  image_size=32, seed=5)
+    plain = QLearningBatcher(**kwargs)
+    cached = QLearningBatcher(**kwargs, cache_bytes=1 << 30)
+    idx = np.arange(len(plain))
+    a = plain.get_batch(indices=idx)
+    b = cached.get_batch(indices=idx)   # fills the cache
+    c = cached.get_batch(indices=idx)   # served from RAM
+    np.testing.assert_array_equal(a["before"], b["before"])
+    np.testing.assert_array_equal(b["before"], c["before"])
+    np.testing.assert_array_equal(b["after"], c["after"])
+    assert cached._cache_used > 0
+
+    # tiny budget: only a few frames fit; results still correct
+    frame_bytes = 32 * 32 * 3
+    tight = QLearningBatcher(**kwargs, cache_bytes=3 * frame_bytes)
+    d = tight.get_batch(indices=idx)
+    np.testing.assert_array_equal(a["before"], d["before"])
+    np.testing.assert_array_equal(a["after"], d["after"])
+    assert tight._cache_used <= 3 * frame_bytes
+    d2 = tight.get_batch(indices=idx)
+    np.testing.assert_array_equal(a["before"], d2["before"])
 
 
 def test_parallel_decode_workers_propagate_errors(tmp_path):

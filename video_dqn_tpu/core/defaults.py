@@ -84,6 +84,10 @@ def get_cfg_defaults() -> ConfigNode:
                     # (0 = decode in-process; reference used 8 DataLoader
                     # workers, train_q_network.py:98)
                     "DECODE_WORKERS": 0,
+                    # decoded-frame RAM cache budget in MB (0 = off):
+                    # epochs >= 2 serve uint8 frames from memory instead
+                    # of re-decoding the same JPEGs every epoch
+                    "DECODE_CACHE_MB": 0,
                 }
             ),
         }

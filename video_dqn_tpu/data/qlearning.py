@@ -88,6 +88,7 @@ class QLearningBatcher:
         image_size: int = 224,
         seed: int = 0,
         cache_images: bool = False,
+        cache_bytes: Optional[int] = None,
     ):
         df = read_feather(location)
         validate_schema(df)
@@ -97,9 +98,21 @@ class QLearningBatcher:
         self.previous_images = previous_images
         self.num_frames = 4 if previous_images else 1
         self._rng = np.random.default_rng(seed)
-        # optional RAM cache of decoded frames: small simulator-generated
-        # datasets fit in memory, removing JPEG decode from the hot loop
-        self._image_cache = {} if cache_images else None
+        # optional RAM cache of decoded frames: epochs >= 2 serve images
+        # from memory instead of re-decoding the same JPEGs every epoch
+        # (the reference re-decodes per __getitem__ per epoch through its
+        # DataLoader workers, q_learning_real.py:55-98). cache_bytes caps
+        # the cache; once full, insertion stops — under uniform random
+        # sampling the hit rate equals the cached fraction, and a
+        # stop-when-full cache achieves it with zero eviction work where
+        # an LRU would thrash. cache_images=True means unbounded.
+        if cache_bytes is not None and cache_bytes > 0:
+            self._image_cache = {}
+            self._cache_budget = int(cache_bytes)
+        else:
+            self._image_cache = {} if cache_images else None
+            self._cache_budget = None
+        self._cache_used = 0
 
         scores = self.cols["detector_score"]  # (N, 5)
         if confidence_reward:
@@ -166,11 +179,20 @@ class QLearningBatcher:
                 return load_images(paths, self.image_size)
             decoded = dict(zip(uniq, load_images(uniq, self.image_size)))
             return np.stack([decoded[p] for p in paths])
-        missing = [p for p in dict.fromkeys(paths) if p not in self._image_cache]
+        cache = self._image_cache
+        missing = [p for p in dict.fromkeys(paths) if p not in cache]
         if missing:
-            for p, img in zip(missing, load_images(missing, self.image_size)):
-                self._image_cache[p] = img
-        return np.stack([self._image_cache[p] for p in paths])
+            decoded = dict(zip(missing, load_images(missing, self.image_size)))
+            for p, img in decoded.items():
+                if (self._cache_budget is not None
+                        and self._cache_used + img.nbytes > self._cache_budget):
+                    continue  # budget full: stop inserting (no eviction)
+                cache[p] = img
+                self._cache_used += img.nbytes
+            return np.stack([
+                cache[p] if p in cache else decoded[p] for p in paths
+            ])
+        return np.stack([cache[p] for p in paths])
 
     def get_batch(self, indices: Optional[np.ndarray] = None, batch_size: int = 16) -> Dict[str, np.ndarray]:
         if indices is None:

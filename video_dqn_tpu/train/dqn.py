@@ -328,6 +328,7 @@ def run_train(
     np.random.seed(config.SEED)
     batch_stream = None
     if batcher is None:
+        cache_mb = int(getattr(config.TPU, "DECODE_CACHE_MB", 0))
         batcher_kwargs = dict(
             location=config.DATASET,
             one_action=True,
@@ -337,6 +338,7 @@ def run_train(
             previous_images=config.PREVIOUS_IMAGES,
             seed=config.SEED,
             image_size=int(config.TPU.IMAGE_SIZE),
+            cache_bytes=cache_mb * (1 << 20) if cache_mb > 0 else None,
         )
         batcher = QLearningBatcher(**batcher_kwargs)
         print(f"Load data from {config.DATASET}")
