@@ -41,7 +41,8 @@ struct Decoder {
   int out_w = 0, out_h = 0;
   double sample_dt = 0.0;   // seconds between sampled frames
   double next_sample = 0.0; // next sample timestamp (seconds)
-  bool eof_sent = false;
+  bool input_eof = false;   // av_read_frame exhausted the container
+  bool eof_sent = false;    // flush packet ACCEPTED by the decoder
   bool pkt_pending = false;  // send_packet returned EAGAIN; resend d->pkt
   int64_t frames_seen = 0;   // timestamp fallback counter
 };
@@ -147,12 +148,20 @@ int decoder_next(void* h, uint8_t* out_rgb) {
     // feed more packets
     if (d->eof_sent) return 0;
     while (true) {
+      if (d->input_eof) {
+        // flush: send_packet(nullptr) returns EAGAIN while decoded
+        // frames are still queued — the flush is NOT registered then and
+        // must be re-sent after draining, or codecs with frame delay
+        // (H.264 B-frames) silently lose their last frames
+        int sr = avcodec_send_packet(d->codec, nullptr);
+        if (sr == 0 || sr == AVERROR_EOF) d->eof_sent = true;
+        break;  // drain frames; retry the flush on the next pass if EAGAIN
+      }
       if (!d->pkt_pending) {
         int pr = av_read_frame(d->fmt, d->pkt);
         if (pr < 0) {
-          avcodec_send_packet(d->codec, nullptr);  // flush
-          d->eof_sent = true;
-          break;
+          d->input_eof = true;
+          continue;
         }
         if (d->pkt->stream_index != d->stream) {
           av_packet_unref(d->pkt);

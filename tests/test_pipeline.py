@@ -342,6 +342,47 @@ def test_native_decode_fused_resize_and_errors(tmp_path):
         next(native_decode.decode_frames(str(tmp_path / "missing.mp4")))
 
 
+def test_native_encode_roundtrip(tmp_path):
+    """encode_video (libx264 mp4) -> decode_frames recovers every frame,
+    including the LAST one: zero-duration final samples make the mp4 edit
+    list exclude them (demuxer flags AV_PKT_FLAG_DISCARD) and codecs with
+    frame delay (H.264 B-frames) additionally need the decode flush
+    re-sent after EAGAIN — both found and fixed via this roundtrip."""
+    from video_dqn_tpu.data import native_decode
+
+    if not native_decode.available():
+        pytest.skip("libvdecode unavailable")
+    # smooth gradients survive lossy encoding with small error
+    frames = []
+    for t in range(30):
+        y, x = np.mgrid[0:64, 0:96]
+        frames.append(np.stack(
+            [(x + 2 * t) % 256, (y + t) % 256, np.full_like(x, 40 + 3 * t)],
+            -1).astype(np.uint8))
+    path = str(tmp_path / "rt.mp4")
+    assert native_decode.encode_video(path, frames, fps=10.0) == 30
+    dec = list(native_decode.decode_frames(path, fps=0))
+    assert len(dec) == 30
+    for d, f in zip(dec, frames):
+        assert np.abs(d.astype(int) - f.astype(int)).mean() < 8.0
+    # the 0.5 fps dataset contract samples t=0 and t=2 from the 3 s clip
+    assert len(list(native_decode.decode_frames(path, fps=0.5))) == 2
+    # built-in fallback codec roundtrips too
+    p2 = str(tmp_path / "rt2.mp4")
+    assert native_decode.encode_video(p2, frames, fps=10.0, codec="mpeg4") == 30
+    assert len(list(native_decode.decode_frames(p2, fps=0))) == 30
+
+    with pytest.raises(IOError):  # odd dims rejected (yuv420p)
+        native_decode.encode_video(str(tmp_path / "odd.mp4"),
+                                   [np.zeros((63, 96, 3), np.uint8)])
+    with pytest.raises(ValueError):
+        native_decode.encode_video(str(tmp_path / "e.mp4"), [])
+    with pytest.raises(ValueError):  # mid-stream shape change
+        native_decode.encode_video(
+            str(tmp_path / "s.mp4"),
+            [np.zeros((64, 96, 3), np.uint8), np.zeros((64, 64, 3), np.uint8)])
+
+
 def _write_test_jpegs(tmp_path, n=6, w=320, h=180):
     from PIL import Image
 

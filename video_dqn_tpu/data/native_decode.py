@@ -12,6 +12,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import sys
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -64,6 +65,17 @@ def _load():
             ctypes.c_int,
         ]
         lib.jpeg_batch_decode.restype = ctypes.c_int
+        lib.encoder_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.c_char_p,
+        ]
+        lib.encoder_open.restype = ctypes.c_void_p
+        lib.encoder_write.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)
+        ]
+        lib.encoder_write.restype = ctypes.c_int
+        lib.encoder_close.argtypes = [ctypes.c_void_p]
+        lib.encoder_close.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
@@ -106,6 +118,55 @@ def jpeg_batch(
         int(n_threads),
     )
     return out, np.flatnonzero(failed).tolist()
+
+
+def encode_video(path: str, frames, fps: float = 10.0,
+                 codec: str = "") -> int:
+    """Encode an iterable of RGB uint8 (H, W, 3) frames into a real video
+    file (container chosen by extension; `.mp4` + libx264 is the default
+    pairing — the same bytes family as the reference's YouTube corpus,
+    /root/reference/dataset/download_videos.py). Returns the frame count.
+
+    This is the encode twin of :func:`decode_frames`; the video-bytes
+    lifecycle driver (scripts/lifecycle_video_bytes.py) uses it to turn
+    rendered sim walks into genuine mp4s for dataset/extract_frames.py.
+    Dimensions must be even (yuv420p chroma subsampling)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libvdecode unavailable")
+    h = None
+    n = 0
+    try:
+        for frame in frames:
+            frame = np.ascontiguousarray(frame, np.uint8)
+            if frame.ndim != 3 or frame.shape[2] != 3:
+                raise ValueError(f"expected (H, W, 3) RGB, got {frame.shape}")
+            if h is None:
+                hh, ww = frame.shape[:2]
+                h = lib.encoder_open(path.encode(), int(ww), int(hh),
+                                     float(fps), codec.encode())
+                if not h:
+                    raise IOError(
+                        f"cannot open encoder for {path} "
+                        f"({ww}x{hh} @ {fps} fps; even dims required)")
+                shape = frame.shape
+            elif frame.shape != shape:
+                raise ValueError(
+                    f"frame {n} shape {frame.shape} != first frame {shape}")
+            if lib.encoder_write(
+                    h, frame.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))) < 0:
+                raise IOError(f"encode error at frame {n} in {path}")
+            n += 1
+        if h is None:
+            raise ValueError("no frames to encode")
+    finally:
+        if h is not None:
+            rc = lib.encoder_close(h)
+            h = None
+            # don't mask an in-flight exception with the finalize error
+            if rc < 0 and sys.exc_info()[0] is None:
+                raise IOError(f"finalize error for {path}")
+    return n
 
 
 def decode_frames(
