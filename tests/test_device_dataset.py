@@ -1,0 +1,91 @@
+"""HBM-resident dataset (data/device_dataset.py): device-side sampling
+must reproduce the host batcher's batches exactly, and the train CLI path
+must run on it end-to-end (TPU.DEVICE_DATASET)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_dqn_tpu.data.device_dataset import DeviceDataset
+from video_dqn_tpu.data.qlearning import QLearningBatcher
+from video_dqn_tpu.data.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def feather(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dds"))
+    return make_synthetic_dataset(root, num_videos=3, frames_per_video=24,
+                                  image_size=64)
+
+
+def _host_rows(dds, step):
+    """Recompute the sampler's row draw on host (threefry is
+    backend-invariant, so this is bit-identical to the on-device draw)."""
+    key = jax.random.fold_in(jax.random.wrap_key_data(dds._base_key),
+                             jnp.asarray(step, jnp.int32))
+    return np.asarray(jax.random.randint(key, (dds.batch_size,), 0, dds.n))
+
+
+@pytest.mark.parametrize("previous_images", [False, True])
+def test_device_batch_matches_host_batcher(feather, previous_images):
+    batcher = QLearningBatcher(feather, one_action=True,
+                               inverse_actions=True,
+                               previous_images=previous_images,
+                               image_size=64, seed=3)
+    dds = DeviceDataset(batcher, batch_size=8, seed=3)
+    for step in (0, 1, 17):
+        dev = jax.device_get(dds.sample(step))
+        host = batcher.get_batch(_host_rows(dds, step))
+        assert set(dev) == set(host)
+        for k in host:
+            np.testing.assert_array_equal(
+                dev[k], host[k], err_msg=f"{k} step {step} "
+                f"previous_images={previous_images}")
+
+
+def test_device_batches_stream_resumes(feather):
+    batcher = QLearningBatcher(feather, one_action=True,
+                               inverse_actions=True, image_size=64, seed=0)
+    dds = DeviceDataset(batcher, batch_size=4, seed=0)
+    it = dds.batches(start_step=0)
+    first = [jax.device_get(next(it))["action"] for _ in range(5)]
+    resumed = dds.batches(start_step=3)
+    np.testing.assert_array_equal(jax.device_get(next(resumed))["action"],
+                                  first[3])
+
+
+def test_run_train_on_device_dataset(feather, tmp_path):
+    """The product loop end-to-end on the HBM-resident mode: checkpoints
+    written, resume continues, loss finite — on the virtual mesh."""
+    import yaml
+
+    from video_dqn_tpu.core import ExperimentConfig
+    from video_dqn_tpu.train import run_train
+
+    exp = str(tmp_path / "exp")
+    os.makedirs(exp)
+    cfg = {
+        "DATASET": feather, "PANORAMA": False,
+        "ARCHITECTURE": "extra_capacity", "USE_INVERSE_ACTIONS": True,
+        "LOSS_CLIP": "rect", "GAMMA": 0.99, "LEARNING_RATE": 0.0001,
+        "NUM_STEPS": 4, "CHECKPOINT_INTERVAL": 2,
+        "TARGET_UPDATE_INTERVAL": 3, "SEED": 4,
+        "TPU": {"BATCH_SIZE": 8, "IMAGE_SIZE": 96, "DEVICE_DATASET": True},
+    }
+    with open(os.path.join(exp, "config.yml"), "w") as f:
+        yaml.safe_dump(cfg, f)
+    config = ExperimentConfig(exp, tensorboard=False)
+    _, loss = run_train(config, log_every=2)
+    assert np.isfinite(loss)
+    models = os.path.join(exp, "models")
+    assert os.path.exists(os.path.join(models, "sample4.ckpt"))
+    # resume from the step-2 checkpoint and reach step 6
+    cfg["NUM_STEPS"] = 6
+    with open(os.path.join(exp, "config.yml"), "w") as f:
+        yaml.safe_dump(cfg, f)
+    config = ExperimentConfig(exp, resume=True, tensorboard=False)
+    run_train(config, resume_from=4)
+    assert os.path.exists(os.path.join(models, "sample6.ckpt"))

@@ -88,6 +88,11 @@ def get_cfg_defaults() -> ConfigNode:
                     # epochs >= 2 serve uint8 frames from memory instead
                     # of re-decoding the same JPEGs every epoch
                     "DECODE_CACHE_MB": 0,
+                    # HBM-resident dataset: decode every unique frame
+                    # once, upload once, sample batches ON DEVICE —
+                    # removes the per-step host->HBM wire entirely when
+                    # the dataset fits HBM (data/device_dataset.py)
+                    "DEVICE_DATASET": False,
                 }
             ),
         }

@@ -344,7 +344,7 @@ def run_train(
         print(f"Load data from {config.DATASET}")
         print(f"Reward Ratio: {batcher.reward_percentage()}")
         n_workers = int(getattr(config.TPU, "DECODE_WORKERS", 0))
-        if n_workers > 0:
+        if n_workers > 0 and not getattr(config.TPU, "DEVICE_DATASET", False):
             from video_dqn_tpu.data.workers import parallel_batches
 
             batch_stream = parallel_batches(
@@ -377,11 +377,21 @@ def run_train(
 
     num_steps = int(max_steps if max_steps is not None else config.NUM_STEPS)
     running_loss = None
-    batches = prefetch_to_device(
-        batch_stream if batch_stream is not None else batcher.batches(batch_size),
-        sharding=batch_sharding(mesh),
-        depth=int(config.TPU.PREFETCH_DEPTH),
-    )
+    if getattr(config.TPU, "DEVICE_DATASET", False):
+        # HBM-resident mode: decode + upload once, sample on device —
+        # zero host bytes per step (data/device_dataset.py rationale)
+        from video_dqn_tpu.data.device_dataset import DeviceDataset
+
+        dds = DeviceDataset(batcher, batch_size, mesh=mesh, seed=config.SEED)
+        print(f"Device dataset: {dds.n} rows, "
+              f"{dds.hbm_bytes / 1e9:.2f} GB of frames in HBM")
+        batches = dds.batches(start_step=start_step)
+    else:
+        batches = prefetch_to_device(
+            batch_stream if batch_stream is not None else batcher.batches(batch_size),
+            sharding=batch_sharding(mesh),
+            depth=int(config.TPU.PREFETCH_DEPTH),
+        )
     sample_number = start_step
     t0 = time.time()
     for batch in batches:
