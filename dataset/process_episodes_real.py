@@ -18,12 +18,24 @@ def main():
     parser.add_argument("--location", default="dataset")
     parser.add_argument("--inverse-model", default="",
                         help="inverse_model.torch checkpoint to convert")
+    parser.add_argument("--inverse-flax", default="",
+                        help="models dir of an inverse model trained by "
+                             "this framework (train/inverse.py sample<N>"
+                             ".ckpt files)")
+    parser.add_argument("--image-size", type=int, default=224,
+                        help="inverse-labeler input resolution")
     args = parser.parse_args()
 
     from video_dqn_tpu.data.episodes import make_inverse_labeler, process_episodes
 
     labeler = None
-    if args.inverse_model:
+    if args.inverse_flax:
+        from video_dqn_tpu.train.inverse import load_inverse_checkpoint
+
+        model, state = load_inverse_checkpoint(
+            args.inverse_flax, image_size=args.image_size)
+        labeler = make_inverse_labeler(model, state.params, state.batch_stats)
+    elif args.inverse_model:
         from video_dqn_tpu.models.inverse import InverseActionModel
         from video_dqn_tpu.models.torch_convert import (
             convert_inverse,
@@ -36,7 +48,8 @@ def main():
     else:
         print("WARNING: no --inverse-model; feather will lack inverse_actions")
 
-    out = process_episodes(args.location, inverse_labeler=labeler)
+    out = process_episodes(args.location, inverse_labeler=labeler,
+                           image_size=args.image_size)
     print(f"wrote {out}")
 
 

@@ -152,6 +152,7 @@ def process_episodes(
     detections_path: Optional[str] = None,
     inverse_labeler: Optional[Callable] = None,
     stride: int = 3,
+    image_size: int = 224,
 ) -> str:
     """Full stage: read real_detections_raw.npy + filter_out/, write
     <location>/data.feather. Returns the feather path."""
@@ -165,6 +166,7 @@ def process_episodes(
         frames_root=os.path.join(location, "frames"),
         stride=stride,
         inverse_labeler=inverse_labeler,
+        image_size=image_size,
     )
     out = os.path.join(location, "data.feather")
     write_feather(df, out)

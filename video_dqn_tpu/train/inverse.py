@@ -136,6 +136,32 @@ def make_inverse_step(model: InverseActionModel, tx):
     return step_fn
 
 
+def load_inverse_checkpoint(
+    models_dir: str,
+    step: Optional[int] = None,
+    image_size: int = 224,
+) -> Tuple[InverseActionModel, InverseTrainState]:
+    """Restore an inverse model trained by run_inverse_train (sample<N>.ckpt
+    files under `models_dir`). The reference loads its inverse model from a
+    torch checkpoint (/root/reference/dataset/process_episodes_real.py:169);
+    this is the same seam for checkpoints this framework trained itself —
+    dataset/process_episodes_real.py --inverse-flax drives it."""
+    from video_dqn_tpu.core import latest_checkpoint_step, restore_checkpoint
+
+    if step is None:
+        step = latest_checkpoint_step(models_dir)
+        if step is None:
+            raise FileNotFoundError(
+                f"no sample<N>.ckpt checkpoints under {models_dir}")
+    import contextlib
+    import io
+
+    with contextlib.redirect_stdout(io.StringIO()):  # template init warning
+        model, template, _ = create_inverse_state(image_size=image_size)
+    state = restore_checkpoint(models_dir, step, template)
+    return model, state
+
+
 def make_inverse_eval(model: InverseActionModel):
     @jax.jit
     def eval_fn(params, batch_stats, batch):
@@ -205,4 +231,8 @@ def run_inverse_train(
                 writer.add_scalar("Accuracy/train", ta, it)
                 writer.add_scalar("Accuracy/val", float(np.mean(vacc)), it)
             save_checkpoint(out_dir, it, jax.device_get(state))
+    if it % validate_every != 0:
+        # always leave a final checkpoint (runs shorter than
+        # validate_every otherwise save nothing)
+        save_checkpoint(out_dir, it, jax.device_get(state))
     return model, state
