@@ -41,6 +41,15 @@ import subprocess
 import sys
 import time
 
+# The orchestrator itself stays OFF the TPU: the axon tunnel is a
+# single-client device, and this process only renders (native C++
+# raycaster + numpy) and shepherds subprocesses — every device stage
+# (inverse CLI, train CLI, eval CLI) runs as its own sequential
+# subprocess that gets the chip to itself. Must happen before the
+# video_dqn_tpu import re-asserts the platform choice.
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -68,6 +77,11 @@ def run_cli(argv, cpu=False, env_extra=None):
     if cpu:
         env["JAX_PLATFORM_NAME"] = "cpu"
         env["JAX_PLATFORMS"] = "cpu"
+    else:
+        # drop the orchestrator's own CPU pin so the sitecustomize
+        # default (the real TPU) applies in the child
+        env.pop("JAX_PLATFORM_NAME", None)
+        env.pop("JAX_PLATFORMS", None)
     if env_extra:
         env.update(env_extra)
     t0 = time.time()
@@ -142,13 +156,11 @@ def render_and_encode(args, root):
 
 
 def train_inverse(args, root):
-    """Zero-action-label seam: inverse model on generated state pairs."""
-    from video_dqn_tpu.data.gibson_pairs import GibsonPairBatcher
+    """Zero-action-label seam: inverse model on generated state pairs,
+    trained through the product CLI (train_inverse_model.py) so the device
+    stage runs in its own subprocess."""
     from video_dqn_tpu.data.sim_dataset import generate_inverse_pairs
     from video_dqn_tpu.eval.fixtures import make_furnished_house
-    from video_dqn_tpu.train.inverse import make_inverse_eval, run_inverse_train
-
-    import numpy as np
 
     pairs_root = os.path.join(root, "inverse_pairs")
     train_npy = os.path.join(pairs_root, "inverse_train_data.npy")
@@ -157,26 +169,25 @@ def train_inverse(args, root):
         generate_inverse_pairs(
             walk_env, pairs_root, n_walks=args.inverse_walks,
             steps_per_walk=args.inverse_walk_steps, seed=11)
-    image_root = os.path.join(pairs_root, "states")
-    train_b = GibsonPairBatcher(train_npy, image_root=image_root,
-                                image_size=args.size, seed=0,
-                                cache_images=True)
-    val_b = GibsonPairBatcher(
-        os.path.join(pairs_root, "inverse_val_data.npy"),
-        image_root=image_root, image_size=args.size, seed=0,
-        cache_images=True)
-    t0 = time.time()
     out_dir = os.path.join(root, "inverse_model")
-    model, state = run_inverse_train(
-        train_b, val_b, out_dir=out_dir, batch_size=args.inverse_batch,
-        num_steps=args.inverse_steps, image_size=args.size, seed=0)
-    eval_fn = make_inverse_eval(model)
-    accs = []
-    for _ in range(10):
-        vb = val_b.get_batch(batch_size=min(args.inverse_batch, len(val_b)))
-        accs.append(float(eval_fn(state.params, state.batch_stats, vb)[1]))
-    emit("lifecycle_inverse_val_accuracy", float(np.mean(accs)), "accuracy",
-         train_pairs=len(train_b), seconds=round(time.time() - t0, 1))
+    t0 = time.time()
+    dt, out = run_cli(
+        ["train_inverse_model.py",
+         "--train_data", train_npy,
+         "--val_data", os.path.join(pairs_root, "inverse_val_data.npy"),
+         "--image_root", os.path.join(pairs_root, "states"),
+         "--out_dir", out_dir, "--image_size", str(args.size),
+         "--batch_size", str(args.inverse_batch),
+         "--num_steps", str(args.inverse_steps),
+         "--seed", "0", "--cache-images"],
+        cpu=args.cpu)
+    acc = None
+    for line in out.splitlines():
+        if line.startswith("Final val accuracy:"):
+            acc = float(line.split(":", 1)[1])
+    assert acc is not None, f"no final accuracy in CLI output:\n{out[-2000:]}"
+    emit("lifecycle_inverse_val_accuracy", acc, "accuracy",
+         seconds=round(time.time() - t0, 1))
     return out_dir
 
 
