@@ -46,6 +46,28 @@ def test_device_batch_matches_host_batcher(feather, previous_images):
                 f"previous_images={previous_images}")
 
 
+def test_sampler_lowering_captures_no_constants(feather):
+    """Regression: the jitted sampler must take the HBM tables as
+    ARGUMENTS. A closure formulation makes jit embed the frame table into
+    the lowered program as a literal constant — at published scale that
+    ships 2.89 GB inside the compile request and wedged the axon tunnel's
+    compile RPC for 50+ minutes (JAX's 'large amount of constants were
+    captured during lowering' warning). Lower the sampler and assert the
+    program text embeds no frame-table-sized literal."""
+    batcher = QLearningBatcher(feather, one_action=True,
+                               inverse_actions=True, image_size=64, seed=0)
+    dds = DeviceDataset(batcher, batch_size=4, seed=0)
+    lowered = dds._sample.lower(dds._tables, dds._base_key,
+                                jnp.asarray(0, jnp.int32))
+    text = lowered.as_text()
+    # the frame table is ~100 KB of uint8 here; a captured-constant
+    # lowering inlines it as a dense literal and blows the text up by
+    # orders of magnitude. Parameters keep the program tiny.
+    assert len(text) < 200_000, (
+        f"sampler lowering is {len(text)} bytes — the HBM tables were "
+        "captured as constants instead of passed as arguments")
+
+
 def test_device_batches_stream_resumes(feather):
     batcher = QLearningBatcher(feather, one_action=True,
                                inverse_actions=True, image_size=64, seed=0)

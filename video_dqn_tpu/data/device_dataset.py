@@ -80,43 +80,55 @@ class DeviceDataset:
         # ---- one-time upload ----------------------------------------------
         put = (lambda x: jax.device_put(x, replicated(mesh))) if mesh is not None \
             else jax.device_put
-        self._frames = put(frames)
-        self._before_idx = put(stacks["before_image"])
-        self._after_idx = put(stacks["after_image"])
-        self._action = put(batcher.action.astype(np.int32))
-        self._reward = put(batcher.reward)
-        self._terminal = put(batcher.terminal)
-        self._gt = put(batcher.gt)
-        self._valid_mask = put(batcher.valid_mask)
-        self._base_key = jax.random.key_data(jax.random.key(seed))
+        # The tables are passed to the jitted sampler as ARGUMENTS, never
+        # captured in its closure: jit embeds closed-over device arrays
+        # into the lowered program as literal constants, so a closure
+        # formulation ships the whole multi-GB frame table inside the
+        # compile request (observed wedging the axon tunnel's compile RPC
+        # for 50+ min with the 2.89 GB published-scale table; JAX warns
+        # "A large amount of constants were captured during lowering").
+        # As arguments they are program parameters: zero bytes at compile,
+        # zero bytes per call.
+        self._tables = {
+            "frames": put(frames),
+            "before_idx": put(stacks["before_image"]),
+            "after_idx": put(stacks["after_image"]),
+            "action": put(batcher.action.astype(np.int32)),
+            "reward": put(batcher.reward),
+            "terminal": put(batcher.terminal),
+            "gt": put(batcher.gt),
+            "valid_mask": put(batcher.valid_mask),
+        }
+        self._base_key = put(jax.random.key_data(jax.random.key(seed)))
 
         n, b = self.n, self.batch_size
 
-        def sample(step: jax.Array):
+        def sample(tables, base_key, step: jax.Array):
             key = jax.random.fold_in(
-                jax.random.wrap_key_data(self._base_key), step)
+                jax.random.wrap_key_data(base_key), step)
             rows = jax.random.randint(key, (b,), 0, n)
-            before = jnp.take(self._frames,
-                              jnp.take(self._before_idx, rows, axis=0),
+            before = jnp.take(tables["frames"],
+                              jnp.take(tables["before_idx"], rows, axis=0),
                               axis=0)
-            after = jnp.take(self._frames,
-                             jnp.take(self._after_idx, rows, axis=0),
+            after = jnp.take(tables["frames"],
+                             jnp.take(tables["after_idx"], rows, axis=0),
                              axis=0)
             return {
                 "before": before,  # (B, F, S, S, 3) uint8
                 "after": after,
-                "action": jnp.take(self._action, rows, axis=0),
-                "reward": jnp.take(self._reward, rows, axis=0),
-                "terminal": jnp.take(self._terminal, rows, axis=0),
-                "gt": jnp.take(self._gt, rows, axis=0),
-                "valid_mask": jnp.take(self._valid_mask, rows, axis=0),
+                "action": jnp.take(tables["action"], rows, axis=0),
+                "reward": jnp.take(tables["reward"], rows, axis=0),
+                "terminal": jnp.take(tables["terminal"], rows, axis=0),
+                "gt": jnp.take(tables["gt"], rows, axis=0),
+                "valid_mask": jnp.take(tables["valid_mask"], rows, axis=0),
             }
 
         out_shardings = batch_sharding(mesh) if mesh is not None else None
         self._sample = jax.jit(sample, out_shardings=out_shardings)
 
     def sample(self, step: int):
-        return self._sample(jnp.asarray(step, jnp.int32))
+        return self._sample(self._tables, self._base_key,
+                            jnp.asarray(step, jnp.int32))
 
     def batches(self, start_step: int = 0):
         """Infinite device-resident batch stream; batch k is sample(k) so
