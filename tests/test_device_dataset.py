@@ -68,6 +68,21 @@ def test_sampler_lowering_captures_no_constants(feather):
         "captured as constants instead of passed as arguments")
 
 
+def test_hbm_capacity_guard_fails_before_decode(feather):
+    """A corpus that won't fit the device must fail up front with an
+    actionable message (streaming fallback), not decode for minutes and
+    die in an allocator OOM mid-upload."""
+    batcher = QLearningBatcher(feather, one_action=True,
+                               inverse_actions=True, image_size=64, seed=0)
+    with pytest.raises(ValueError, match="TPU.DEVICE_DATASET.*streaming"):
+        DeviceDataset(batcher, batch_size=4, seed=0,
+                      hbm_limit_bytes=64 * 64 * 3)  # room for ~1 frame
+    # a generous limit constructs fine
+    dds = DeviceDataset(batcher, batch_size=4, seed=0,
+                        hbm_limit_bytes=1 << 34)
+    assert np.isfinite(jax.device_get(dds.sample(0))["reward"]).all()
+
+
 def test_device_batches_stream_resumes(feather):
     batcher = QLearningBatcher(feather, one_action=True,
                                inverse_actions=True, image_size=64, seed=0)
@@ -77,6 +92,74 @@ def test_device_batches_stream_resumes(feather):
     resumed = dds.batches(start_step=3)
     np.testing.assert_array_equal(jax.device_get(next(resumed))["action"],
                                   first[3])
+
+
+def test_fused_step_matches_unfused(feather):
+    """The fused sampler+train-step program (one dispatch per step, the
+    production DEVICE_DATASET path) must produce the same losses and
+    parameters as dispatching the standalone sampler and the train step
+    separately — i.e. batch k = sample(state.step=k) exactly."""
+    import optax
+
+    from video_dqn_tpu.core import get_cfg_defaults
+    from video_dqn_tpu.models.qnet import build_qnet, init_qnet
+    from video_dqn_tpu.parallel import make_mesh
+    from video_dqn_tpu.train.dqn import (
+        TrainState,
+        make_fused_device_step,
+        make_train_step,
+        state_shardings,
+    )
+
+    cfg = get_cfg_defaults()
+    cfg.PANORAMA = False
+    # 'basic' head: at 64 px the extra_capacity 3x3-VALID head conv would
+    # collapse the 2x2 backbone map to zero features; the fusion under
+    # test is architecture-independent.
+    cfg.ARCHITECTURE = "basic"
+    cfg.USE_INVERSE_ACTIONS = True
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.IMAGE_SIZE = 64
+    cfg.TARGET_UPDATE_INTERVAL = 2  # span a sync boundary in 4 steps
+
+    batcher = QLearningBatcher(feather, one_action=True,
+                               inverse_actions=True, image_size=64, seed=0)
+    mesh = make_mesh(cfg.TPU.MESH_DATA, cfg.TPU.MESH_MODEL)
+    dds = DeviceDataset(batcher, batch_size=8, mesh=mesh, seed=0)
+
+    model = build_qnet(cfg)
+    params, batch_stats = init_qnet(model, jax.random.key(0), image_size=64)
+    tx = optax.adam(cfg.LEARNING_RATE)
+    state0 = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats=batch_stats,
+        target_params=jax.tree_util.tree_map(jnp.copy, params),
+        target_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
+        opt_state=tx.init(params), ema_loss=jnp.zeros((), jnp.float32),
+    )
+    host0 = jax.device_get(state0)
+    shardings = state_shardings(mesh, state0)
+
+    step_fn = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
+    st = jax.device_put(host0, shardings)
+    losses_a = []
+    for k in range(4):
+        st, m = step_fn(st, dds.sample(k))
+        losses_a.append(float(m["loss"]))
+    params_a = jax.device_get(st.params)
+
+    fused = make_fused_device_step(model, cfg, tx, mesh, dds.sample_body)
+    st2 = jax.device_put(host0, shardings)
+    losses_b = []
+    for k in range(4):
+        st2, m = fused(st2, dds.tables, dds.base_key)
+        losses_b.append(float(m["loss"]))
+    params_b = jax.device_get(st2.params)
+
+    np.testing.assert_allclose(losses_a, losses_b, rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        params_a, params_b)
 
 
 def test_run_train_on_device_dataset(feather, tmp_path):

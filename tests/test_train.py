@@ -208,6 +208,54 @@ def test_train_smoke_end_to_end(tmp_path, mesh8):
     assert int(jax.device_get(state2.step)) == 6
 
 
+def test_bootstrap_semantics(tmp_path, mesh8):
+    """BOOTSTRAP loads donor weights but starts the loop counter fresh and
+    re-syncs the target net to the loaded model (reference
+    train_q_network.py:200-208,190: sample_number stays resume_from+1 and
+    target_net.load_state_dict(model.state_dict()) runs after the load)."""
+    feather = make_synthetic_dataset(str(tmp_path / "ds"), num_videos=2,
+                                     frames_per_video=16, image_size=64)
+    from video_dqn_tpu.data.qlearning import QLearningBatcher
+
+    batcher = QLearningBatcher(feather, one_action=True, inverse_actions=True,
+                               image_size=64, seed=0)
+
+    donor = tmp_path / "donor"
+    donor.mkdir()
+    donor_cfg = {
+        "DATASET": feather,
+        "PANORAMA": False,
+        "ARCHITECTURE": "basic",
+        "USE_INVERSE_ACTIONS": True,
+        "CHECKPOINT_INTERVAL": 2,
+        "NUM_STEPS": 2,
+        "TARGET_UPDATE_INTERVAL": 4,
+        "TPU": {"BATCH_SIZE": 8, "COMPUTE_DTYPE": "float32"},
+    }
+    (donor / "config.yml").write_text(yaml.safe_dump(donor_cfg))
+    config = ExperimentConfig(str(donor), tensorboard=False)
+    donor_state, _ = run_train(config, batcher=batcher, mesh=mesh8,
+                               log_every=2)
+    donor_params = jax.device_get(donor_state.params)
+
+    boot = tmp_path / "boot"
+    boot.mkdir()
+    boot_cfg = dict(donor_cfg, BOOTSTRAP=True,
+                    BOOTSTRAP_LOCATION=str(config.models_dir))
+    (boot / "config.yml").write_text(yaml.safe_dump(boot_cfg))
+    config2 = ExperimentConfig(str(boot), tensorboard=False)
+    # max_steps=0: observe the exact post-bootstrap state
+    state, _ = run_train(config2, batcher=batcher, mesh=mesh8,
+                         max_steps=0, log_every=2)
+    assert int(jax.device_get(state.step)) == 0  # fresh counter
+    host = jax.device_get(state)
+    jax.tree_util.tree_map(np.testing.assert_array_equal,
+                           host.params, donor_params)
+    # target re-synced to the loaded model, not the donor's target
+    jax.tree_util.tree_map(np.testing.assert_array_equal,
+                           host.target_params, host.params)
+
+
 def test_batchnorm_mode_semantics():
     """extra_capacity freezes backbone BN during training (reference
     set_train, HabitatDQNMultiAction.py:37-40); basic trains it."""

@@ -38,13 +38,33 @@ import numpy as np
 from video_dqn_tpu.parallel import batch_sharding, replicated
 
 
+def _device_bytes_limit(mesh) -> Optional[int]:
+    """Per-device HBM capacity if the runtime exposes it (TPU does via
+    memory_stats; the CPU backend returns None)."""
+    dev = mesh.devices.flat[0] if mesh is not None else jax.devices()[0]
+    try:
+        stats = dev.memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    return stats.get("bytes_limit")
+
+
 class DeviceDataset:
     """Build from a QLearningBatcher (reuses its label/semantics work);
     `sample(step)` returns a device-resident batch dict with the exact
     QLearningBatcher.get_batch contract."""
 
+    # Fraction of per-device HBM the frame table may occupy: the rest is
+    # for params + Adam moments + target net + step activations (batch 512
+    # at 224 px peaks ~4 GB) and XLA scratch. 2.89 GB/16 GB = 0.18 is the
+    # proven published-scale point; 0.6 leaves the step comfortable.
+    HBM_BUDGET_FRACTION = 0.6
+
     def __init__(self, batcher, batch_size: int, mesh=None, seed: int = 0,
-                 decode_chunk: int = 512):
+                 decode_chunk: int = 512,
+                 hbm_limit_bytes: Optional[int] = None):
         self.batch_size = int(batch_size)
         self.n = len(batcher)
         if self.batch_size > self.n:
@@ -67,10 +87,27 @@ class DeviceDataset:
         for p, j in uniq.items():
             paths[j] = p
 
+        # ---- capacity guard (BEFORE the minutes-long decode) ---------------
+        # The table is replicated per device, so the per-device limit is the
+        # binding one on any mesh. Fail loudly up front: without this an
+        # oversized corpus decodes for minutes and then dies in an opaque
+        # allocator OOM mid-upload.
+        s = batcher.image_size
+        frame_bytes = len(uniq) * s * s * 3
+        limit = hbm_limit_bytes if hbm_limit_bytes is not None \
+            else _device_bytes_limit(mesh)
+        if limit is not None and frame_bytes > self.HBM_BUDGET_FRACTION * limit:
+            raise ValueError(
+                f"TPU.DEVICE_DATASET: the frame table ({len(uniq)} unique "
+                f"{s}px frames = {frame_bytes / 1e9:.2f} GB) exceeds "
+                f"{self.HBM_BUDGET_FRACTION:.0%} of per-device HBM "
+                f"({limit / 1e9:.2f} GB). Use the streaming infeed "
+                f"(TPU.DEVICE_DATASET: false, optionally TPU.DECODE_WORKERS/"
+                f"TPU.DECODE_CACHE_MB) or a smaller TPU.IMAGE_SIZE."
+            )
+
         # ---- decode once (native batched JPEG stage, chunked) -------------
         from video_dqn_tpu.data.qlearning import load_images
-
-        s = batcher.image_size
         frames = np.empty((len(paths), s, s, 3), np.uint8)
         for i in range(0, len(paths), decode_chunk):
             chunk = paths[i : i + decode_chunk]
@@ -124,6 +161,15 @@ class DeviceDataset:
             }
 
         out_shardings = batch_sharding(mesh) if mesh is not None else None
+        # the pure sampler body: run_train fuses it INTO the train step
+        # (one XLA program, one dispatch per step — each extra dispatch
+        # costs ~13 ms through the tunneled runtime, measured as the
+        # residual gap between the batch-512 published-scale rate and the
+        # synthetic headline). The standalone jitted form remains for the
+        # `batches()` stream API and tests.
+        self.sample_body = sample
+        self.tables = self._tables
+        self.base_key = self._base_key
         self._sample = jax.jit(sample, out_shardings=out_shardings)
 
     def sample(self, step: int):

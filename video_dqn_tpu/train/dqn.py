@@ -312,6 +312,31 @@ def jit_train_step(model, config, tx, mesh, state: TrainState):
     return jitted, sharded_state, shardings
 
 
+def make_fused_device_step(model, config, tx, mesh, sample_body):
+    """Sampler + train step as ONE jitted program for the HBM-resident
+    dataset mode: `fused(state, tables, base_key) -> (state, metrics)`
+    draws batch `state.step` on device and consumes it in the same XLA
+    program. One dispatch per step instead of two — each extra dispatch
+    costs ~13 ms through the tunneled runtime (BASELINE.md published-scale
+    rows), and the reference's DataLoader-per-step shape has no analogue
+    of this fusion at all (/root/reference/train_q_network.py:98,219).
+
+    Batch k = sample_body(k) at k = state.step, which equals the loop's
+    sample_number at the top of every iteration (including after `-r`
+    resume), so the fused stream is BIT-IDENTICAL to the unfused one
+    (pinned by tests/test_device_dataset.py::test_fused_step_matches_unfused).
+    """
+    step_fn = make_train_step(model, config, tx)
+    bshard = batch_sharding(mesh)
+
+    def fused(state: TrainState, tables, base_key):
+        batch = sample_body(tables, base_key, state.step)
+        batch = jax.lax.with_sharding_constraint(batch, bshard)
+        return step_fn(state, batch)
+
+    return jax.jit(fused, donate_argnums=(0,))
+
+
 def run_train(
     config,
     resume_from: int = -1,
@@ -371,22 +396,45 @@ def run_train(
         step = latest_checkpoint_step(boot)
         if step is not None:
             state = restore_checkpoint(boot, step, jax.device_get(state))
+            # the reference BOOTSTRAP loads weights but its loop counter
+            # starts fresh and the target net is re-synced to the loaded
+            # model (train_q_network.py:190,200-208,211) — reset the
+            # device step so target-sync phase and the fused sampler
+            # index (= state.step) match a fresh run, and copy
+            # params->target like the reference's load_state_dict.
+            state = state.replace(
+                step=jnp.zeros((), jnp.int32),
+                target_params=jax.tree_util.tree_map(np.copy, state.params),
+                target_batch_stats=jax.tree_util.tree_map(
+                    np.copy, state.batch_stats),
+            )
             print(f"BOOTSTRAP from {boot}/sample{step}")
-
-    step_fn, state, _ = jit_train_step(model, config, tx, mesh, state)
 
     num_steps = int(max_steps if max_steps is not None else config.NUM_STEPS)
     running_loss = None
     if getattr(config.TPU, "DEVICE_DATASET", False):
-        # HBM-resident mode: decode + upload once, sample on device —
-        # zero host bytes per step (data/device_dataset.py rationale)
+        # HBM-resident mode: decode + upload once, then sampler + train
+        # step fused into ONE program — one dispatch per step, zero host
+        # bytes per step (data/device_dataset.py rationale)
+        import itertools
+
         from video_dqn_tpu.data.device_dataset import DeviceDataset
 
         dds = DeviceDataset(batcher, batch_size, mesh=mesh, seed=config.SEED)
         print(f"Device dataset: {dds.n} rows, "
               f"{dds.hbm_bytes / 1e9:.2f} GB of frames in HBM")
-        batches = dds.batches(start_step=start_step)
+        shardings = state_shardings(mesh, state)
+        state = jax.device_put(state, shardings)
+        fused_fn = make_fused_device_step(model, config, tx, mesh,
+                                          dds.sample_body)
+
+        def dispatch(state, _):
+            return fused_fn(state, dds.tables, dds.base_key)
+
+        batches = itertools.repeat(None)
     else:
+        step_fn, state, _ = jit_train_step(model, config, tx, mesh, state)
+        dispatch = step_fn
         batches = prefetch_to_device(
             batch_stream if batch_stream is not None else batcher.batches(batch_size),
             sharding=batch_sharding(mesh),
@@ -397,7 +445,7 @@ def run_train(
     for batch in batches:
         if sample_number >= num_steps:
             break
-        state, metrics = step_fn(state, batch)
+        state, metrics = dispatch(state, batch)
         sample_number += 1
         # the EMA loss lives on device; only sync at logging/checkpoint
         # boundaries so the dispatch pipeline stays full.
