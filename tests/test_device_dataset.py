@@ -162,6 +162,94 @@ def test_fused_step_matches_unfused(feather):
         params_a, params_b)
 
 
+def test_scan_chunk_matches_per_step(feather):
+    """The scan-over-steps program (SCAN_CHUNK fused steps per dispatch)
+    must produce the same state as the same number of per-step fused
+    dispatches: the carry threads state.step through the scan, so batch
+    draws, target-sync phase and EMA line up exactly."""
+    import optax
+
+    from video_dqn_tpu.core import get_cfg_defaults
+    from video_dqn_tpu.models.qnet import build_qnet, init_qnet
+    from video_dqn_tpu.parallel import make_mesh
+    from video_dqn_tpu.train.dqn import (
+        TrainState,
+        make_fused_device_step,
+        make_scan_device_step,
+        state_shardings,
+    )
+
+    cfg = get_cfg_defaults()
+    cfg.PANORAMA = False
+    cfg.ARCHITECTURE = "basic"
+    cfg.USE_INVERSE_ACTIONS = True
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.IMAGE_SIZE = 64
+    cfg.TARGET_UPDATE_INTERVAL = 3  # boundary lands MID-chunk (step 3 of 4)
+
+    batcher = QLearningBatcher(feather, one_action=True,
+                               inverse_actions=True, image_size=64, seed=0)
+    mesh = make_mesh(cfg.TPU.MESH_DATA, cfg.TPU.MESH_MODEL)
+    dds = DeviceDataset(batcher, batch_size=8, mesh=mesh, seed=0)
+
+    model = build_qnet(cfg)
+    params, batch_stats = init_qnet(model, jax.random.key(0), image_size=64)
+    tx = optax.adam(cfg.LEARNING_RATE)
+    state0 = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats=batch_stats,
+        target_params=jax.tree_util.tree_map(jnp.copy, params),
+        target_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
+        opt_state=tx.init(params), ema_loss=jnp.zeros((), jnp.float32),
+    )
+    host0 = jax.device_get(state0)
+    shardings = state_shardings(mesh, state0)
+
+    fused = make_fused_device_step(model, cfg, tx, mesh, dds.sample_body)
+    st = jax.device_put(host0, shardings)
+    for _ in range(4):
+        st, m_per_step = fused(st, dds.tables, dds.base_key)
+    per_step = jax.device_get(st)
+
+    scan = make_scan_device_step(model, cfg, tx, mesh, dds.sample_body,
+                                 chunk=2)
+    st2 = jax.device_put(host0, shardings)
+    for _ in range(2):
+        st2, m_scan = scan(st2, dds.tables, dds.base_key)
+    scanned = jax.device_get(st2)
+
+    assert int(scanned.step) == int(per_step.step) == 4
+
+    # (a) the batch stream drawn INSIDE the scan is bitwise the per-step
+    # stream (integer RNG + gathers; fusion can't change them)
+    def draws(tables, base_key):
+        def body(k, _):
+            return k + 1, dds.sample_body(tables, base_key, k)
+        _, bs = jax.lax.scan(body, jnp.int32(0), None, length=4)
+        return bs
+
+    stacked = jax.device_get(jax.jit(draws)(dds.tables, dds.base_key))
+    for k in range(4):
+        direct = jax.device_get(dds.sample(k))
+        for key, v in direct.items():
+            np.testing.assert_array_equal(stacked[key][k], v, err_msg=key)
+
+    # (b) trajectory equivalence: same math, different XLA fusion order —
+    # the loss/EMA track to float drift. Params are NOT comparable at
+    # tight relative tolerance after 4 steps: early-Adam updates are
+    # ~= +-lr regardless of gradient magnitude, so drift that flips a
+    # near-zero gradient's sign moves that param by 2*lr. Bound the
+    # absolute divergence at a few lr instead (a wrong-batch/wrong-phase
+    # bug shows up in (a) and in the loss, not here).
+    np.testing.assert_allclose(float(m_scan["ema_loss"]),
+                               float(m_per_step["ema_loss"]), rtol=1e-3)
+    lr = float(cfg.LEARNING_RATE)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=0, atol=5 * lr),
+        (per_step.params, per_step.target_params),
+        (scanned.params, scanned.target_params))
+
+
 def test_run_train_on_device_dataset(feather, tmp_path):
     """The product loop end-to-end on the HBM-resident mode: checkpoints
     written, resume continues, loss finite — on the virtual mesh."""

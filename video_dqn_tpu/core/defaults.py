@@ -93,6 +93,13 @@ def get_cfg_defaults() -> ConfigNode:
                     # removes the per-step host->HBM wire entirely when
                     # the dataset fits HBM (data/device_dataset.py)
                     "DEVICE_DATASET": False,
+                    # DEVICE_DATASET dispatch granularity: run this many
+                    # fused sampler+train steps inside ONE XLA program
+                    # (lax.scan), so per-step dispatch cost vanishes.
+                    # 0 = auto (largest chunk dividing every host
+                    # boundary: log cadence, CHECKPOINT_INTERVAL, total
+                    # steps); 1 = one dispatch per step.
+                    "SCAN_CHUNK": 0,
                 }
             ),
         }

@@ -337,6 +337,41 @@ def make_fused_device_step(model, config, tx, mesh, sample_body):
     return jax.jit(fused, donate_argnums=(0,))
 
 
+def make_scan_device_step(model, config, tx, mesh, sample_body, chunk: int):
+    """`chunk` fused sampler+train steps inside ONE XLA program
+    (`lax.scan` over the fused body): `scan(state, tables, base_key) ->
+    (state, last-step metrics)`. The per-step dispatch disappears from
+    the steady state entirely — on the tunneled runtime a dispatch costs
+    ~13 ms against a ~56 ms batch-256 step, and even co-located hosts pay
+    Python + runtime enqueue per step. State is carried through the scan;
+    each scan iteration draws batch `state.step` exactly like the
+    per-step fused program, so the sample stream (integer RNG draws —
+    bit-identical), target-sync phase (lax.cond on the in-carry step) and
+    EMA recursion are the same as `chunk` sequential fused dispatches;
+    only XLA fusion order differs, leaving ~1e-4 float drift (pinned by
+    tests/test_device_dataset.py::test_scan_chunk_matches_per_step).
+
+    The caller picks `chunk` to divide every host-side boundary (logging,
+    CHECKPOINT_INTERVAL, total steps) — run_train's auto mode uses their
+    gcd — so no host action ever lands mid-chunk. Only the last step's
+    metrics are returned: the loop logs at chunk multiples, and the EMA
+    loss already integrates the interior steps on device.
+    """
+    step_fn = make_train_step(model, config, tx)
+    bshard = batch_sharding(mesh)
+
+    def scan_fn(state: TrainState, tables, base_key):
+        def body(st, _):
+            batch = sample_body(tables, base_key, st.step)
+            batch = jax.lax.with_sharding_constraint(batch, bshard)
+            return step_fn(st, batch)
+
+        state, metrics = jax.lax.scan(body, state, None, length=chunk)
+        return state, jax.tree_util.tree_map(lambda x: x[-1], metrics)
+
+    return jax.jit(scan_fn, donate_argnums=(0,))
+
+
 def run_train(
     config,
     resume_from: int = -1,
@@ -412,11 +447,14 @@ def run_train(
 
     num_steps = int(max_steps if max_steps is not None else config.NUM_STEPS)
     running_loss = None
+    step_increment = 1
     if getattr(config.TPU, "DEVICE_DATASET", False):
         # HBM-resident mode: decode + upload once, then sampler + train
-        # step fused into ONE program — one dispatch per step, zero host
-        # bytes per step (data/device_dataset.py rationale)
+        # step fused into ONE program — and (SCAN_CHUNK) whole chunks of
+        # steps per dispatch, zero host bytes per step
+        # (data/device_dataset.py rationale)
         import itertools
+        import math
 
         from video_dqn_tpu.data.device_dataset import DeviceDataset
 
@@ -425,8 +463,21 @@ def run_train(
               f"{dds.hbm_bytes / 1e9:.2f} GB of frames in HBM")
         shardings = state_shardings(mesh, state)
         state = jax.device_put(state, shardings)
-        fused_fn = make_fused_device_step(model, config, tx, mesh,
-                                          dds.sample_body)
+
+        chunk = int(getattr(config.TPU, "SCAN_CHUNK", 0))
+        if chunk <= 0:  # auto: largest chunk dividing every host boundary
+            remaining = max(num_steps - start_step, 0)
+            chunk = math.gcd(math.gcd(int(log_every),
+                                      int(config.CHECKPOINT_INTERVAL)),
+                             remaining) or 1
+        if chunk > 1:
+            print(f"Scan chunk: {chunk} steps/dispatch")
+            fused_fn = make_scan_device_step(model, config, tx, mesh,
+                                             dds.sample_body, chunk)
+        else:
+            fused_fn = make_fused_device_step(model, config, tx, mesh,
+                                              dds.sample_body)
+        step_increment = chunk
 
         def dispatch(state, _):
             return fused_fn(state, dds.tables, dds.base_key)
@@ -446,7 +497,7 @@ def run_train(
         if sample_number >= num_steps:
             break
         state, metrics = dispatch(state, batch)
-        sample_number += 1
+        sample_number += step_increment
         # the EMA loss lives on device; only sync at logging/checkpoint
         # boundaries so the dispatch pipeline stays full.
         if sample_number % log_every == 0:
