@@ -3,9 +3,11 @@
 Runs the FULL jitted train step (3 ResNet18 forwards + backward + Adam +
 conditional target sync, uint8->normalize fused on device) on the real
 TPU chip with the published real_data architecture (extra_capacity,
-single-frame, 224x224) in bfloat16 at batch 256, on synthetic
-device-resident batches — isolating the compute path the reference runs
-per sample at batch 16 on a CUDA GPU (train_q_network.py:98,126-181).
+single-frame, 224x224) in bfloat16 at batch 512, on synthetic
+device-resident batches, dispatched in scan chunks of 10 steps per XLA
+program (the production DEVICE_DATASET dispatch shape) — isolating the
+compute path the reference runs per sample at batch 16 on a CUDA GPU
+(train_q_network.py:98,126-181) from per-step dispatch cost.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -71,7 +73,11 @@ def main():
     from video_dqn_tpu.data.synthetic import synthetic_batch
     from video_dqn_tpu.models.qnet import build_qnet
     from video_dqn_tpu.parallel import make_mesh
-    from video_dqn_tpu.train.dqn import jit_train_step, TrainState
+    from video_dqn_tpu.train.dqn import (
+        TrainState,
+        make_train_step,
+        state_shardings,
+    )
     from video_dqn_tpu.core import get_cfg_defaults
     import optax
 
@@ -100,7 +106,23 @@ def main():
         opt_state=tx.init(params),
         ema_loss=jnp.zeros((), jnp.float32),
     )
-    step_fn, state, _ = jit_train_step(model, cfg, tx, mesh, state)
+    state = jax.device_put(state, state_shardings(mesh, state))
+
+    # scan-chunked dispatch, the production DEVICE_DATASET shape
+    # (train/dqn.make_scan_device_step): CHUNK steps per XLA program, so
+    # the timing isolates the compute path from per-step dispatch cost
+    # (~13 ms/step through the tunneled runtime; sub-ms co-located).
+    CHUNK = 10
+    body_fn = make_train_step(model, cfg, tx)
+
+    def scan_steps(state, batch):
+        def body(st, _):
+            return body_fn(st, batch)
+
+        st, ms = jax.lax.scan(body, state, None, length=CHUNK)
+        return st, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    step_fn = jax.jit(scan_steps, donate_argnums=(0,))
 
     host = synthetic_batch(batch_size=batch_size, num_frames=1, image_size=224)
     from video_dqn_tpu.parallel import shard_batch
@@ -110,13 +132,13 @@ def main():
     # compile + warmup
     state, m = step_fn(state, batch)
     jax.block_until_ready(m["loss"])
-    for _ in range(2):
-        state, m = step_fn(state, batch)
+    state, m = step_fn(state, batch)
     jax.block_until_ready(m["loss"])
 
-    iters = 10
+    dispatches = 2
+    iters = dispatches * CHUNK
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(dispatches):
         state, m = step_fn(state, batch)
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
@@ -130,7 +152,11 @@ def main():
     # weak item 3: the torch-CPU ratio alone flatters; report utilization).
     mfu = flops_per_step = None
     try:
-        cost = step_fn.lower(state, batch).compile().cost_analysis()
+        # cost-analyze the SINGLE-step program: XLA's cost analysis counts
+        # a while/scan body once regardless of trip count, so analyzing the
+        # chunked program would be ambiguous across versions.
+        one_step = jax.jit(body_fn)
+        cost = one_step.lower(state, batch).compile().cost_analysis()
         if isinstance(cost, list):  # older jax returns one dict per device
             cost = cost[0]
         flops_per_step = float(cost.get("flops", 0.0))
