@@ -81,8 +81,12 @@ def main():
     from video_dqn_tpu.core import get_cfg_defaults
     import optax
 
-    batch_size = 512  # probed (stop-grad step): 5986 at 512, 5935 at 768,
-    # 6005 at 1024 — flat past 512, keep the smaller footprint
+    # probed per-step-dispatch (stop-grad step): 5986 at 512, 5935 at 768,
+    # 6005 at 1024 — flat past 512; re-probed scan-chunked (dispatch-free,
+    # 2026-08-19): 6163.6 at 512 vs 6170.1 at 1024 — +0.1%, noise; keep
+    # the smaller footprint.
+    # VDQN_BENCH_BATCH overrides for probes.
+    batch_size = int(os.environ.get("VDQN_BENCH_BATCH", 512))
     cfg = get_cfg_defaults()
     cfg.PANORAMA = False
     cfg.ARCHITECTURE = "extra_capacity"
