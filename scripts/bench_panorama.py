@@ -29,6 +29,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="64,128,256")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--scan-chunk", type=int, default=0,
+                    help="if >0, dispatch this many steps per XLA program "
+                         "(lax.scan, the production TPU.SCAN_CHUNK shape) "
+                         "instead of one dispatch per step")
     args = ap.parse_args()
 
     import jax
@@ -85,6 +89,23 @@ def main():
         except Exception:
             pass
 
+        chunk = max(args.scan_chunk, 0)
+        if chunk > 1:
+            from video_dqn_tpu.train.dqn import make_train_step
+
+            body_fn = make_train_step(model, cfg, tx)
+
+            def scan_steps(state, batch):
+                def body(st, _):
+                    return body_fn(st, batch)
+
+                st, ms = jax.lax.scan(body, state, None, length=chunk)
+                return st, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+            step_fn = jax.jit(scan_steps, donate_argnums=(0,))
+        else:
+            chunk = 1
+
         for _ in range(3):
             state, m = step_fn(state, batch)
         jax.block_until_ready(m["loss"])
@@ -92,7 +113,7 @@ def main():
         for _ in range(args.iters):
             state, m = step_fn(state, batch)
         jax.block_until_ready(m["loss"])
-        dt = (time.perf_counter() - t0) / args.iters
+        dt = (time.perf_counter() - t0) / (args.iters * chunk)
 
         mfu = (round(flops / dt / (n_chips * peak), 4)
                if flops and peak else None)
@@ -105,6 +126,7 @@ def main():
             "ms_per_step": round(dt * 1000, 2),
             "mfu": mfu,
             "tflops_per_step": round(flops / 1e12, 3) if flops else None,
+            "scan_chunk": chunk,
         }))
 
     # eval side: 12 views x 4 frames x 5 classes, one device call
