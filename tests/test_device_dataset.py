@@ -24,18 +24,26 @@ def feather(tmp_path_factory):
 def _host_rows(dds, step):
     """Recompute the sampler's row draw on host (threefry is
     backend-invariant, so this is bit-identical to the on-device draw)."""
-    key = jax.random.fold_in(jax.random.wrap_key_data(dds._base_key),
-                             jnp.asarray(step, jnp.int32))
+    base = jax.random.wrap_key_data(dds._base_key)
+    if dds.sampling == "epoch":
+        spe = dds.n // dds.batch_size
+        perm = np.asarray(jax.random.permutation(
+            jax.random.fold_in(base, step // spe), dds.n))
+        j = step % spe
+        return perm[j * dds.batch_size : (j + 1) * dds.batch_size]
+    key = jax.random.fold_in(base, jnp.asarray(step, jnp.int32))
     return np.asarray(jax.random.randint(key, (dds.batch_size,), 0, dds.n))
 
 
 @pytest.mark.parametrize("previous_images", [False, True])
-def test_device_batch_matches_host_batcher(feather, previous_images):
+@pytest.mark.parametrize("sampling", ["epoch", "uniform"])
+def test_device_batch_matches_host_batcher(feather, previous_images,
+                                           sampling):
     batcher = QLearningBatcher(feather, one_action=True,
                                inverse_actions=True,
                                previous_images=previous_images,
                                image_size=64, seed=3)
-    dds = DeviceDataset(batcher, batch_size=8, seed=3)
+    dds = DeviceDataset(batcher, batch_size=8, seed=3, sampling=sampling)
     for step in (0, 1, 17):
         dev = jax.device_get(dds.sample(step))
         host = batcher.get_batch(_host_rows(dds, step))
@@ -44,6 +52,27 @@ def test_device_batch_matches_host_batcher(feather, previous_images):
             np.testing.assert_array_equal(
                 dev[k], host[k], err_msg=f"{k} step {step} "
                 f"previous_images={previous_images}")
+
+
+def test_epoch_sampling_covers_each_row_once(feather):
+    """'epoch' mode is shuffle-without-replacement + drop_last, the
+    reference DataLoader's semantics (train_q_network.py:60-67,98): one
+    epoch's batches must draw steps_per_epoch*B DISTINCT rows, and the
+    next epoch reshuffles (different order, same coverage)."""
+    batcher = QLearningBatcher(feather, one_action=True,
+                               inverse_actions=True, image_size=64, seed=0)
+    dds = DeviceDataset(batcher, batch_size=8, seed=0, sampling="epoch")
+    spe = dds.n // dds.batch_size
+    epoch0 = np.concatenate([_host_rows(dds, k) for k in range(spe)])
+    epoch1 = np.concatenate([_host_rows(dds, k + spe) for k in range(spe)])
+    assert len(np.unique(epoch0)) == spe * dds.batch_size  # no repeats
+    assert len(np.unique(epoch1)) == spe * dds.batch_size
+    assert not np.array_equal(epoch0, epoch1)  # reshuffled
+    # and the device draw at an epoch-1 step matches the host mirror
+    dev = jax.device_get(dds.sample(spe + 1))
+    host = batcher.get_batch(_host_rows(dds, spe + 1))
+    for k in host:
+        np.testing.assert_array_equal(dev[k], host[k], err_msg=k)
 
 
 def test_sampler_lowering_captures_no_constants(feather):

@@ -93,6 +93,11 @@ def get_cfg_defaults() -> ConfigNode:
                     # removes the per-step host->HBM wire entirely when
                     # the dataset fits HBM (data/device_dataset.py)
                     "DEVICE_DATASET": False,
+                    # DEVICE_DATASET row-draw semantics: 'epoch' =
+                    # on-device per-epoch permutation + drop_last (the
+                    # reference DataLoader's shuffle semantics);
+                    # 'uniform' = uniform with replacement
+                    "DEVICE_SAMPLING": "epoch",
                     # DEVICE_DATASET dispatch granularity: run this many
                     # fused sampler+train steps inside ONE XLA program
                     # (lax.scan), so per-step dispatch cost vanishes.

@@ -20,11 +20,16 @@ draws B row indices, and gathers the batch — zero host bytes per step, so
 sustained training runs at the device-resident rate (bench.py's headline)
 instead of the wire rate.
 
-Sampling semantics: uniform-with-replacement over rows (the reference's
-shuffled DataLoader is per-epoch permutation; at the published scale of
-~270 epochs over the feather the distinction is statistically immaterial —
-documented deviation). Seeded by config.SEED and the step number, so a
-resumed run (-r) continues the exact sample sequence it would have drawn.
+Sampling semantics (TPU.DEVICE_SAMPLING): 'epoch' (default) draws a
+fresh on-device permutation per epoch and slices batch-sized windows
+with drop_last — the exact semantics of the reference's shuffle
+DataLoader (train_q_network.py:60-67,98) and of this framework's own
+host stream (qlearning.QLearningBatcher.batches); the per-step
+permutation sort of ~19k int32 is noise next to the step. 'uniform'
+draws rows uniformly with replacement (the mode the first published-
+scale artifacts ran; statistically equivalent at ~270 epochs). Both are
+pure functions of (seed, step), so a resumed run (-r) continues the
+exact sample sequence it would have drawn.
 """
 
 from __future__ import annotations
@@ -64,7 +69,8 @@ class DeviceDataset:
 
     def __init__(self, batcher, batch_size: int, mesh=None, seed: int = 0,
                  decode_chunk: int = 512,
-                 hbm_limit_bytes: Optional[int] = None):
+                 hbm_limit_bytes: Optional[int] = None,
+                 sampling: str = "epoch"):
         self.batch_size = int(batch_size)
         self.n = len(batcher)
         if self.batch_size > self.n:
@@ -139,11 +145,28 @@ class DeviceDataset:
         self._base_key = put(jax.random.key_data(jax.random.key(seed)))
 
         n, b = self.n, self.batch_size
+        if sampling not in ("epoch", "uniform"):
+            raise ValueError(
+                f"TPU.DEVICE_SAMPLING must be 'epoch' or 'uniform', "
+                f"got {sampling!r}")
+        self.sampling = sampling
+        # epoch mode: shuffle-without-replacement + drop_last, the exact
+        # semantics of QLearningBatcher.batches and the reference's
+        # shuffle DataLoader (train_q_network.py:60-67,98)
+        steps_per_epoch = n // b
 
         def sample(tables, base_key, step: jax.Array):
-            key = jax.random.fold_in(
-                jax.random.wrap_key_data(base_key), step)
-            rows = jax.random.randint(key, (b,), 0, n)
+            if sampling == "epoch":
+                epoch = step // steps_per_epoch
+                j = step % steps_per_epoch
+                perm = jax.random.permutation(
+                    jax.random.fold_in(
+                        jax.random.wrap_key_data(base_key), epoch), n)
+                rows = jax.lax.dynamic_slice(perm, (j * b,), (b,))
+            else:
+                key = jax.random.fold_in(
+                    jax.random.wrap_key_data(base_key), step)
+                rows = jax.random.randint(key, (b,), 0, n)
             before = jnp.take(tables["frames"],
                               jnp.take(tables["before_idx"], rows, axis=0),
                               axis=0)

@@ -458,7 +458,9 @@ def run_train(
 
         from video_dqn_tpu.data.device_dataset import DeviceDataset
 
-        dds = DeviceDataset(batcher, batch_size, mesh=mesh, seed=config.SEED)
+        dds = DeviceDataset(
+            batcher, batch_size, mesh=mesh, seed=config.SEED,
+            sampling=str(getattr(config.TPU, "DEVICE_SAMPLING", "epoch")))
         print(f"Device dataset: {dds.n} rows, "
               f"{dds.hbm_bytes / 1e9:.2f} GB of frames in HBM")
         shardings = state_shardings(mesh, state)
