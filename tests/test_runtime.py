@@ -249,3 +249,62 @@ def test_multihost_two_process_train_step(tmp_path):
     # primary gating: only process 0 runs primary_only side effects
     assert "MULTIHOST_PRIMARY_OK" in outs[0]
     assert "MULTIHOST_PRIMARY_OK" not in outs[1]
+
+
+# ---------------------------------------------------------------------------
+# training stall watchdog (core/watchdog.py — the train-side twin of the
+# eval --gather-timeout and bench VDQN_BENCH_WATCHDOG_S defenses)
+# ---------------------------------------------------------------------------
+
+def _wait_for(pred, deadline_s):
+    end = time.monotonic() + deadline_s
+    while time.monotonic() < end:
+        if pred():
+            return True
+        time.sleep(0.05)
+    return pred()
+
+
+def test_stall_watchdog_fires_after_beats_cease():
+    from video_dqn_tpu.core.watchdog import StallWatchdog
+
+    fired = []
+    wd = StallWatchdog(2.0, first_timeout_s=2.0,
+                       on_stall=lambda e: fired.append(e))
+    try:
+        for _ in range(5):           # healthy phase: beats inside deadline
+            time.sleep(0.2)
+            wd.beat()
+        assert not fired
+        assert _wait_for(lambda: fired, 20.0), "watchdog never fired"
+        assert fired[0] >= 2.0       # elapsed reported honestly
+    finally:
+        wd.stop()
+
+
+def test_stall_watchdog_first_deadline_grace():
+    from video_dqn_tpu.core.watchdog import StallWatchdog
+
+    fired = []
+    # steady deadline 0.5 s but a 30 s cold-compile grace: silence before
+    # the FIRST beat must not fire the steady deadline
+    wd = StallWatchdog(0.5, first_timeout_s=30.0,
+                       on_stall=lambda e: fired.append(e))
+    try:
+        time.sleep(1.5)
+        assert not fired, "fired during first-beat grace"
+        wd.beat()                    # enters steady state
+        assert _wait_for(lambda: fired, 20.0), "steady deadline never fired"
+    finally:
+        wd.stop()
+
+
+def test_stall_watchdog_stop_disarms():
+    from video_dqn_tpu.core.watchdog import StallWatchdog
+
+    fired = []
+    wd = StallWatchdog(0.3, first_timeout_s=0.3,
+                       on_stall=lambda e: fired.append(e))
+    wd.stop()
+    time.sleep(1.2)
+    assert not fired

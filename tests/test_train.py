@@ -187,7 +187,11 @@ def test_train_smoke_end_to_end(tmp_path, mesh8):
                 "CHECKPOINT_INTERVAL": 3,
                 "NUM_STEPS": 6,
                 "TARGET_UPDATE_INTERVAL": 4,
-                "TPU": {"BATCH_SIZE": 8, "COMPUTE_DTYPE": "float32"},
+                # STALL_TIMEOUT_S arms the training stall watchdog for
+                # the whole run (wiring coverage: normal completion must
+                # beat, then stop it — a leak would os._exit this process)
+                "TPU": {"BATCH_SIZE": 8, "COMPUTE_DTYPE": "float32",
+                        "STALL_TIMEOUT_S": 60},
             }
         )
     )

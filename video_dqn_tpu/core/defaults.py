@@ -105,6 +105,14 @@ def get_cfg_defaults() -> ConfigNode:
                     # boundary: log cadence, CHECKPOINT_INTERVAL, total
                     # steps); 1 = one dispatch per step.
                     "SCAN_CHUNK": 0,
+                    # training stall watchdog (seconds; 0 = off): exit
+                    # non-zero when no loop progress lands within the
+                    # deadline, so a wrapper can restart with -r. Must
+                    # comfortably exceed one log interval. The eval/bench
+                    # twins are --gather-timeout and
+                    # VDQN_BENCH_WATCHDOG_S; env override
+                    # VDQN_TRAIN_WATCHDOG_S (core/watchdog.py rationale)
+                    "STALL_TIMEOUT_S": 0,
                 }
             ),
         }

@@ -29,6 +29,7 @@ TPU-first design (none of this exists in the reference):
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
@@ -494,25 +495,49 @@ def run_train(
             depth=int(config.TPU.PREFETCH_DEPTH),
         )
     sample_number = start_step
+    # Stall defense (core/watchdog.py rationale): a dropped tunnel blocks
+    # the loop forever at a dispatch/sync, so no orchestrator can restart
+    # it with -r. The loop beats every iteration; the deadline must
+    # therefore comfortably exceed one log interval (the longest healthy
+    # stretch between device syncs). 0 = off. Env var mirrors
+    # VDQN_BENCH_WATCHDOG_S; the first deadline covers cold remote
+    # compile (bench.py's bound is 2700 s).
+    wd_timeout = float(os.environ.get(
+        "VDQN_TRAIN_WATCHDOG_S",
+        getattr(config.TPU, "STALL_TIMEOUT_S", 0) or 0))
+    watchdog = None
+    if wd_timeout > 0:
+        from video_dqn_tpu.core.watchdog import StallWatchdog
+
+        watchdog = StallWatchdog(wd_timeout, label="train",
+                                 first_timeout_s=max(wd_timeout, 2700.0))
     t0 = time.time()
-    for batch in batches:
-        if sample_number >= num_steps:
-            break
-        state, metrics = dispatch(state, batch)
-        sample_number += step_increment
-        # the EMA loss lives on device; only sync at logging/checkpoint
-        # boundaries so the dispatch pipeline stays full.
-        if sample_number % log_every == 0:
-            running_loss = float(metrics["ema_loss"])
-            config.writer.add_scalar("avg_q_loss/train", running_loss, sample_number)
-            rate = log_every * batch_size / (time.time() - t0)
-            config.writer.add_scalar("frames_per_sec/train", rate, sample_number)
-            t0 = time.time()
-        if sample_number % int(config.CHECKPOINT_INTERVAL) == 0:
-            save_checkpoint(config.models_dir, sample_number, jax.device_get(state))
-            # value-map rendering at checkpoints — properly gated (the
-            # reference's equivalent crashed on an undefined houses list
-            # when VISUALIZATION_DATA_ROOT was unset, train_q_network.py:248-250)
-            if visualize_hook is not None and config.VISUALIZATION_DATA_ROOT:
-                visualize_hook(model, state, sample_number)
+    try:
+        for batch in batches:
+            if sample_number >= num_steps:
+                break
+            state, metrics = dispatch(state, batch)
+            sample_number += step_increment
+            if watchdog is not None:
+                watchdog.beat()
+            # the EMA loss lives on device; only sync at logging/checkpoint
+            # boundaries so the dispatch pipeline stays full.
+            if sample_number % log_every == 0:
+                running_loss = float(metrics["ema_loss"])
+                config.writer.add_scalar("avg_q_loss/train", running_loss, sample_number)
+                rate = log_every * batch_size / (time.time() - t0)
+                config.writer.add_scalar("frames_per_sec/train", rate, sample_number)
+                t0 = time.time()
+            if sample_number % int(config.CHECKPOINT_INTERVAL) == 0:
+                save_checkpoint(config.models_dir, sample_number, jax.device_get(state))
+                # value-map rendering at checkpoints — properly gated (the
+                # reference's equivalent crashed on an undefined houses list
+                # when VISUALIZATION_DATA_ROOT was unset, train_q_network.py:248-250)
+                if visualize_hook is not None and config.VISUALIZATION_DATA_ROOT:
+                    visualize_hook(model, state, sample_number)
+                if watchdog is not None:
+                    watchdog.beat()
+    finally:
+        if watchdog is not None:
+            watchdog.stop()
     return state, running_loss
