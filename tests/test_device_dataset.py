@@ -311,3 +311,41 @@ def test_run_train_on_device_dataset(feather, tmp_path):
     config = ExperimentConfig(exp, resume=True, tensorboard=False)
     run_train(config, resume_from=4)
     assert os.path.exists(os.path.join(models, "sample6.ckpt"))
+
+
+def test_misaligned_scan_chunk_preserves_checkpoint_cadence(
+        feather, tmp_path, capsys):
+    """A user-set TPU.SCAN_CHUNK that doesn't divide log/checkpoint/total
+    boundaries must NOT silently change the sample<N> cadence or overshoot
+    NUM_STEPS (the reference's checkpoint cadence is a contract,
+    train_q_network.py:241-247): run_train rounds it down with a loud
+    warning."""
+    import yaml
+
+    from video_dqn_tpu.core import ExperimentConfig
+    from video_dqn_tpu.train import run_train
+
+    exp = str(tmp_path / "exp")
+    os.makedirs(exp)
+    cfg = {
+        "DATASET": feather, "PANORAMA": False,
+        "ARCHITECTURE": "extra_capacity", "USE_INVERSE_ACTIONS": True,
+        "LOSS_CLIP": "rect", "GAMMA": 0.99, "LEARNING_RATE": 0.0001,
+        "NUM_STEPS": 6, "CHECKPOINT_INTERVAL": 2,
+        "TARGET_UPDATE_INTERVAL": 3, "SEED": 4,
+        # 5 divides neither log_every=2 nor CHECKPOINT_INTERVAL=2 nor
+        # NUM_STEPS=6 — unvalidated, it would checkpoint at 10, 20, ...
+        # (never) and run to step 10
+        "TPU": {"BATCH_SIZE": 8, "IMAGE_SIZE": 96, "DEVICE_DATASET": True,
+                "SCAN_CHUNK": 5},
+    }
+    with open(os.path.join(exp, "config.yml"), "w") as f:
+        yaml.safe_dump(cfg, f)
+    config = ExperimentConfig(exp, tensorboard=False)
+    _, loss = run_train(config, log_every=2)
+    out = capsys.readouterr().out
+    assert "SCAN_CHUNK=5" in out and "Rounding down" in out
+    models = os.path.join(exp, "models")
+    assert sorted(os.listdir(models)) == [
+        "sample2.ckpt", "sample4.ckpt", "sample6.ckpt"]
+    assert np.isfinite(loss)

@@ -269,15 +269,18 @@ def test_stall_watchdog_fires_after_beats_cease():
     from video_dqn_tpu.core.watchdog import StallWatchdog
 
     fired = []
-    wd = StallWatchdog(2.0, first_timeout_s=2.0,
+    # wide margin: 0.1 s beats against a 5 s deadline, so a single-core
+    # scheduling stall cannot fire the watchdog during the healthy phase
+    # (round-4 advisor flake finding)
+    wd = StallWatchdog(5.0, first_timeout_s=5.0,
                        on_stall=lambda e: fired.append(e))
     try:
-        for _ in range(5):           # healthy phase: beats inside deadline
-            time.sleep(0.2)
+        for _ in range(10):          # healthy phase: beats inside deadline
+            time.sleep(0.1)
             wd.beat()
         assert not fired
-        assert _wait_for(lambda: fired, 20.0), "watchdog never fired"
-        assert fired[0] >= 2.0       # elapsed reported honestly
+        assert _wait_for(lambda: fired, 30.0), "watchdog never fired"
+        assert fired[0] >= 5.0       # elapsed reported honestly
     finally:
         wd.stop()
 

@@ -62,6 +62,20 @@ def test_join_images_contract(rng):
     assert annotated.shape == (64 + 50, 12 * w, 3)
 
 
+def test_join_images_golden_pixels():
+    """Byte-stability of the episode-video strip layout: the committed
+    golden (tests/data/join_images_golden.npz, rendered by the pre-rewrite
+    implementation) must reproduce EXACTLY — the strip feeds committed
+    video artifacts, so any pixel change is an artifact-format break."""
+    g = np.load(os.path.join(os.path.dirname(__file__), "data",
+                             "join_images_golden.npz"))
+    ims = list(g["ims"])
+    np.testing.assert_array_equal(join_images(ims), g["plain"])
+    np.testing.assert_array_equal(
+        join_images(ims, g["vals"], br_text="bed", bl_text="step 7"),
+        g["annotated"])
+
+
 # ---- value maps ----------------------------------------------------------
 
 def make_grid_folder(tmp_path, rows=2, cols=2, size=32):

@@ -113,6 +113,13 @@ def get_cfg_defaults() -> ConfigNode:
                     # VDQN_BENCH_WATCHDOG_S; env override
                     # VDQN_TRAIN_WATCHDOG_S (core/watchdog.py rationale)
                     "STALL_TIMEOUT_S": 0,
+                    # first-dispatch watchdog grace (seconds; 0 = auto):
+                    # the first deadline must cover a cold REMOTE compile
+                    # (minutes through the tunnel), so auto floors it at
+                    # 2700 s on the axon/tpu backends. On CPU there is no
+                    # remote compile; auto uses STALL_TIMEOUT_S directly.
+                    # Set explicitly to override either way.
+                    "STALL_FIRST_TIMEOUT_S": 0,
                 }
             ),
         }

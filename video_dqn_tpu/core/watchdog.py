@@ -78,6 +78,12 @@ class StallWatchdog:
             deadline = self.timeout_s if self._beaten else self.first_timeout_s
             elapsed = time.monotonic() - self._last
             if elapsed > deadline:
+                # stop() may have landed between the wait() and this check
+                # (e.g. run_train returned from a legitimately slow final
+                # sync just as the deadline crossed) — never fire after
+                # disarm.
+                if self._stop.is_set():
+                    return
                 if self._on_stall is not None:
                     self._on_stall(elapsed)
                     return

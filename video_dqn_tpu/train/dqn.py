@@ -468,11 +468,28 @@ def run_train(
         state = jax.device_put(state, shardings)
 
         chunk = int(getattr(config.TPU, "SCAN_CHUNK", 0))
-        if chunk <= 0:  # auto: largest chunk dividing every host boundary
-            remaining = max(num_steps - start_step, 0)
-            chunk = math.gcd(math.gcd(int(log_every),
-                                      int(config.CHECKPOINT_INTERVAL)),
-                             remaining) or 1
+        # largest chunk dividing every host boundary: the loop only sees
+        # sample_number at chunk multiples, so a chunk that doesn't divide
+        # log_every / CHECKPOINT_INTERVAL / remaining steps would silently
+        # change the logging+checkpoint cadence and overshoot NUM_STEPS
+        # (the reference's sample<N> cadence is a contract,
+        # /root/reference/train_q_network.py:241-247)
+        remaining = max(num_steps - start_step, 0)
+        aligned = math.gcd(math.gcd(int(log_every),
+                                    int(config.CHECKPOINT_INTERVAL)),
+                           remaining) or 1
+        if chunk <= 0:  # auto
+            chunk = aligned
+        elif (int(log_every) % chunk or int(config.CHECKPOINT_INTERVAL) % chunk
+              or remaining % chunk):
+            safe = math.gcd(chunk, aligned) or 1
+            print(
+                f"WARNING: TPU.SCAN_CHUNK={chunk} does not divide the host "
+                f"boundaries (log_every={log_every}, CHECKPOINT_INTERVAL="
+                f"{int(config.CHECKPOINT_INTERVAL)}, remaining steps="
+                f"{remaining}) — checkpoints/logs would silently skip. "
+                f"Rounding down to {safe}.")
+            chunk = safe
         if chunk > 1:
             print(f"Scan chunk: {chunk} steps/dispatch")
             fused_fn = make_scan_device_step(model, config, tx, mesh,
@@ -502,15 +519,32 @@ def run_train(
     # stretch between device syncs). 0 = off. Env var mirrors
     # VDQN_BENCH_WATCHDOG_S; the first deadline covers cold remote
     # compile (bench.py's bound is 2700 s).
-    wd_timeout = float(os.environ.get(
-        "VDQN_TRAIN_WATCHDOG_S",
-        getattr(config.TPU, "STALL_TIMEOUT_S", 0) or 0))
+    wd_env = os.environ.get("VDQN_TRAIN_WATCHDOG_S", "").strip()
+    if wd_env:
+        try:
+            wd_timeout = float(wd_env)
+        except ValueError:
+            raise ValueError(
+                f"VDQN_TRAIN_WATCHDOG_S={wd_env!r} is not a number — set it "
+                "to a timeout in seconds (0 disables the watchdog)"
+            ) from None
+    else:
+        wd_timeout = float(getattr(config.TPU, "STALL_TIMEOUT_S", 0) or 0)
     watchdog = None
     if wd_timeout > 0:
         from video_dqn_tpu.core.watchdog import StallWatchdog
 
+        # Cold-compile grace: a remote (tunneled TPU) first compile takes
+        # minutes, so the first deadline is floored at bench.py's 2700 s
+        # bound — but only where a remote compile exists; on the CPU
+        # backend the floor would just delay catching a first-dispatch
+        # hang. TPU.STALL_FIRST_TIMEOUT_S overrides the auto choice.
+        first = float(getattr(config.TPU, "STALL_FIRST_TIMEOUT_S", 0) or 0)
+        if first <= 0:
+            remote = jax.default_backend() not in ("cpu",)
+            first = max(wd_timeout, 2700.0) if remote else wd_timeout
         watchdog = StallWatchdog(wd_timeout, label="train",
-                                 first_timeout_s=max(wd_timeout, 2700.0))
+                                 first_timeout_s=first)
     t0 = time.time()
     try:
         for batch in batches:

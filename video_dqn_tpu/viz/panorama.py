@@ -26,6 +26,36 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 
+# Pixel-layout contract of the reference's episode-video strips
+# (/root/reference/visualize_panorama.py:34-67), pinned by the golden-pixel
+# test (tests/test_viz_utils.py / tests/data/join_images_golden.npz) so the
+# committed video artifacts stay byte-stable:
+#   * each view contributes a centered crop whose width is (4/N - 0.05) of
+#     the source width (~4 views' worth of pixels spread over all N, minus
+#     a 5% trim), rounded via int();
+#   * the strip runs RIGHT-TO-LEFT (view N-1 first) — a left turn between
+#     consecutive views then reads left-to-right across the panorama;
+#   * the last column of every crop is blacked out as a separator;
+#   * the optional caption row is 50 px of white below the strip: one
+#     "%.2f" value per view (clipped to its own crop width), bl_text
+#     bottom-left, br_text right-aligned bottom-right, all HERSHEY_SIMPLEX
+#     at 0.5 / thickness 1.
+_CAPTION_H = 50
+_FONT_SCALE = 0.5
+
+
+def _caption_tile(width: int, text: str, org) -> np.ndarray:
+    """White uint8 tile with `text` drawn at `org` (cv2 clips at the tile
+    edge, so one tile per view keeps long values from bleeding into the
+    neighbor's cell)."""
+    import cv2
+
+    tile = np.full((_CAPTION_H, width, 3), 255, np.uint8)
+    cv2.putText(tile, text, org, cv2.FONT_HERSHEY_SIMPLEX, _FONT_SCALE,
+                (0, 0, 0), 1)
+    return tile
+
+
 def join_images(
     ims: Sequence[np.ndarray],
     values: Optional[Sequence[float]] = None,
@@ -34,35 +64,32 @@ def join_images(
 ) -> np.ndarray:
     import cv2
 
-    cols = ims[0].shape[1]
-    scale = (4.0 / len(ims)) - 0.05
-    rng = int(scale * cols / 2)
+    views = list(ims)[::-1]
+    n = len(views)
+    src_w = views[0].shape[1]
+    half = int(((4.0 / n) - 0.05) * src_w / 2)
+    crop_w = 2 * half
+    center = src_w // 2
 
-    ims = list(reversed(list(ims)))
-    strips = np.array(
-        [im[:, (cols // 2) - rng : (cols // 2) + rng, :] for im in ims]
-    )
-    strips[:, :, -1] = 0  # black separator on each view's last column
-    joined = np.concatenate(strips, axis=1)
+    strip = np.concatenate(
+        [v[:, center - half : center + half] for v in views], axis=1
+    ).copy()
+    strip[:, crop_w - 1 :: crop_w] = 0  # per-view separator columns
     if values is None:
-        return joined
+        return strip
 
-    values = list(reversed(list(values)))
-    annotations = []
-    for val in values:
-        # uint8 from the start (cv2 >= 5 putText rejects float images)
-        text = np.full((50, rng * 2, 3), 255, np.uint8)
-        cv2.putText(text, f"{val:.2f}", (15, 20), cv2.FONT_HERSHEY_SIMPLEX,
-                    0.5, (0, 0, 0), 1)
-        annotations.append(text)
-    text_row = np.concatenate(annotations, axis=1)
-
-    (tw, _), _ = cv2.getTextSize(br_text, cv2.FONT_HERSHEY_SIMPLEX, 0.5, 1)
-    cv2.putText(text_row, br_text, (text_row.shape[1] - tw - 10, 40),
-                cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 0, 0), 1)
-    cv2.putText(text_row, bl_text, (10, 40), cv2.FONT_HERSHEY_SIMPLEX, 0.5,
-                (0, 0, 0), 1)
-    return np.concatenate((joined, text_row), axis=0)
+    caption = np.concatenate(
+        [_caption_tile(crop_w, f"{v:.2f}", (15, 20))
+         for v in reversed(list(values))],
+        axis=1,
+    )
+    (bw, _), _ = cv2.getTextSize(br_text, cv2.FONT_HERSHEY_SIMPLEX,
+                                 _FONT_SCALE, 1)
+    cv2.putText(caption, br_text, (caption.shape[1] - bw - 10, 40),
+                cv2.FONT_HERSHEY_SIMPLEX, _FONT_SCALE, (0, 0, 0), 1)
+    cv2.putText(caption, bl_text, (10, 40), cv2.FONT_HERSHEY_SIMPLEX,
+                _FONT_SCALE, (0, 0, 0), 1)
+    return np.concatenate((strip, caption), axis=0)
 
 
 def panorama_strip(env, scorer=None, num_rotations: int = 12):
