@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Published-scale training on REAL sim-rendered data, closed with the
+product metric (round-4 verdict #2).
+
+The reference's flagship workflow is: train 300k steps x batch 16 = 4.8M
+sample draws from a fixed feather, THEN score the resulting checkpoint
+over the evaluation workload (/root/reference/train_q_network.py:241-247
+-> evaluation/runner.py:40-96). Round 4 proved the training half at full
+scale on a synthetic-noise corpus (throughput + kill/resume artifact);
+this script runs the WHOLE loop on real rendered frames so the flagship
+training artifact connects to SPL:
+
+  1. corpus   — random walks in the furnished two-floor house rendered at
+                the published 224 px, proximity-proxy detections, true
+                actions (data/sim_dataset.generate_sim_dataset); ~19k
+                quadruplets = the round-4 artifact's scale.
+  2. train    — the UNCHANGED product CLI (train_q_network.py), published
+                real_data recipe embodied at batch 256 (18,750 steps =
+                4.8M draws), HBM-resident infeed + auto scan dispatch,
+                stall watchdog on; non-zero exits relaunch with -r (the
+                watchdog+checkpoint recovery recipe as product behavior).
+  3. eval     — evaluation/run.py --workload over the furnished episode
+                set for the FINAL checkpoint, an EARLY checkpoint twin
+                (the r2/r3 overfit comparison), and the geodesic-oracle
+                twin on the identical episodes (same SEED).
+
+Honest-interpretation note (BASELINE.md, round-3 scaling probe): with a
+random-init frozen-BN trunk (no ImageNet weights in this container), long
+training on a small corpus overfits — the early-checkpoint twin isolates
+that effect; the point of the artifact is the closed loop at full scale.
+
+Usage: python scripts/published_scale_real.py [--out /tmp/ps_real]
+Prints one JSON row per result; rows also land in <out>/rows.json.
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ROWS = []
+
+
+def emit(metric, value, unit, **extra):
+    row = {"metric": metric, "value": round(float(value), 4), "unit": unit,
+           **extra}
+    ROWS.append(row)
+    print(json.dumps(row), flush=True)
+
+
+def run_cli(argv, cpu=False, env_extra=None, check=True):
+    env = dict(os.environ)
+    env["JAX_COMPILATION_CACHE_DIR"] = "/root/.jax_cache"
+    if cpu:
+        env["JAX_PLATFORM_NAME"] = "cpu"
+        env["JAX_PLATFORMS"] = "cpu"
+    else:
+        env.pop("JAX_PLATFORM_NAME", None)
+        env.pop("JAX_PLATFORMS", None)
+    if env_extra:
+        env.update(env_extra)
+    t0 = time.time()
+    r = subprocess.run([sys.executable, "-u"] + argv, cwd=REPO, env=env,
+                       capture_output=True, text=True)
+    dt = time.time() - t0
+    if check and r.returncode != 0:
+        sys.exit(f"CLI {' '.join(argv)} failed ({r.returncode}):\n"
+                 f"{r.stdout[-4000:]}\n{r.stderr[-4000:]}")
+    return r.returncode, dt, r.stdout
+
+
+def ckpt_steps(models_dir):
+    if not os.path.isdir(models_dir):
+        return []
+    return sorted(int(m.group(1)) for fn in os.listdir(models_dir)
+                  if (m := re.match(r"sample(\d+)\.ckpt", fn)))
+
+
+def parse_mean_spl(out: str) -> float:
+    for line in out.splitlines():
+        if line.startswith("Mean SPL:"):
+            return float(line.split(":", 1)[1].strip())
+    raise AssertionError(f"no Mean SPL in eval output:\n{out[-2000:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/ps_real")
+    ap.add_argument("--size", type=int, default=224)
+    ap.add_argument("--videos", type=int, default=24)
+    ap.add_argument("--video-steps", type=int, default=800)
+    ap.add_argument("--steps", type=int, default=18750)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--checkpoint-interval", type=int, default=1250)
+    ap.add_argument("--episodes", type=int, default=100)
+    ap.add_argument("--early-checkpoint", type=int, default=1250,
+                    help="the overfit-comparison twin (r3 showed short "
+                         "training wins on small corpora with a random "
+                         "trunk)")
+    ap.add_argument("--watchdog", type=float, default=900.0)
+    ap.add_argument("--max-train-attempts", type=int, default=4)
+    ap.add_argument("--eval-cpu", action="store_true",
+                    help="score episodes on the CPU backend (tunnel "
+                         "outage fallback)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="every device stage on the CPU backend (smoke)")
+    args = ap.parse_args()
+    if args.cpu:
+        args.eval_cpu = True
+
+    import yaml
+
+    os.makedirs(args.out, exist_ok=True)
+
+    # ---- 1. corpus ------------------------------------------------------
+    root = os.path.join(args.out, "ds")
+    feather = os.path.join(root, "data.feather")
+    if not os.path.exists(feather):
+        from video_dqn_tpu.data.sim_dataset import generate_sim_dataset
+        from video_dqn_tpu.eval.fixtures import make_furnished_house
+
+        t0 = time.time()
+        env, house = make_furnished_house(size_px=args.size, seed=0)
+        feather = generate_sim_dataset(
+            env, house, root, n_videos=args.videos,
+            steps_per_video=args.video_steps, reward_dist=1.5, seed=0,
+            floor=None)
+        dt = time.time() - t0
+        emit("ps_real_corpus_frames_per_sec",
+             args.videos * args.video_steps / dt, "frames/sec",
+             frames=args.videos * args.video_steps, px=args.size,
+             seconds=round(dt, 1))
+
+    # ---- 2. train (product CLI; watchdog + -r relaunch) ------------------
+    exp = os.path.join(args.out, "exp")
+    os.makedirs(exp, exist_ok=True)
+    with open(os.path.join(exp, "config.yml"), "w") as f:
+        yaml.safe_dump({
+            "DATASET": feather, "PANORAMA": False,
+            "ARCHITECTURE": "extra_capacity", "USE_INVERSE_ACTIONS": True,
+            "LOSS_CLIP": "rect", "GAMMA": 0.99, "LEARNING_RATE": 0.0001,
+            "NUM_STEPS": args.steps,
+            "CHECKPOINT_INTERVAL": args.checkpoint_interval,
+            "TARGET_UPDATE_INTERVAL": 8000, "SEED": 4,
+            "TPU": {"BATCH_SIZE": args.batch, "IMAGE_SIZE": args.size,
+                    "DEVICE_DATASET": True,
+                    "STALL_TIMEOUT_S": args.watchdog},
+        }, f)
+    models = os.path.join(exp, "models")
+    if args.steps not in ckpt_steps(models):
+        t0 = time.time()
+        for attempt in range(args.max_train_attempts):
+            resume = bool(ckpt_steps(models))
+            rc, dt, out = run_cli(
+                ["train_q_network.py"] + (["-r"] if resume else []) + [exp],
+                cpu=args.cpu, check=False)
+            if rc == 0:
+                break
+            print(f"train attempt {attempt} exited {rc} "
+                  f"(latest ckpt: {max(ckpt_steps(models) or [0])}); "
+                  f"relaunching with -r\n{out[-1500:]}", flush=True)
+        else:
+            sys.exit("training failed after max attempts")
+        wall = time.time() - t0
+        emit("ps_real_train_frames_per_sec",
+             args.steps * args.batch / wall, "frames/sec",
+             draws=args.steps * args.batch, wall_s=round(wall, 1),
+             attempts=attempt + 1)
+
+    # ---- 3. eval: final + early twins + oracle, identical episodes -------
+    def eval_model(number, tag):
+        cfg = os.path.join(args.out, f"eval_{tag}.yml")
+        with open(cfg, "w") as f:
+            yaml.safe_dump({
+                "SCORE": "model", "MODEL_CONFIG_LOCATION": exp,
+                "MODEL_NUMBER": int(number), "SLAM": True, "SEED": 1,
+                "RESULT_LOCATION": os.path.join(args.out, f"results_{tag}"),
+            }, f)
+        rc, dt, out = run_cli(
+            ["evaluation/run.py", "--workload", str(args.episodes),
+             "--furnished-env", "--batched", "8", "--pipeline-depth", "2",
+             "-r", cfg], cpu=args.eval_cpu)
+        spl = parse_mean_spl(out)
+        emit(f"ps_real_spl_{tag}", spl, "mean SPL",
+             episodes=args.episodes, model_number=int(number),
+             eval_seconds=round(dt, 1))
+        return spl
+
+    eval_model(args.steps, "final")
+    if args.early_checkpoint in ckpt_steps(models):
+        eval_model(args.early_checkpoint, "early")
+
+    oracle_cfg = os.path.join(args.out, "eval_oracle.yml")
+    with open(oracle_cfg, "w") as f:
+        yaml.safe_dump({
+            "SCORE": "geodesic", "SLAM": True, "SEED": 1,
+            "RESULT_LOCATION": os.path.join(args.out, "results_oracle"),
+        }, f)
+    rc, dt, out = run_cli(
+        ["evaluation/run.py", "--workload", str(args.episodes),
+         "--furnished-env", "-r", oracle_cfg], cpu=True)
+    emit("ps_real_spl_oracle", parse_mean_spl(out), "mean SPL",
+         episodes=args.episodes, eval_seconds=round(dt, 1))
+
+    with open(os.path.join(args.out, "rows.json"), "w") as f:
+        json.dump(ROWS, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

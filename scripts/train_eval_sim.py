@@ -178,13 +178,19 @@ def pseudo_label_feather(feather: str, labeler, image_size: int,
     from video_dqn_tpu.data.schema import read_feather, write_feather
 
     df = read_feather(feather)
-    preds = []
-    for i in range(0, len(df), batch):
-        rows = df.iloc[i : i + batch]
-        before = load_images(rows["before_image"], image_size)
-        after = load_images(rows["after_image"], image_size)
-        preds.append(np.asarray(labeler(before, after)))
-    preds = np.concatenate(preds).astype(np.int64)
+    if getattr(labeler, "supports_table", False):
+        # decode-once table path (TableInverseLabeler): each unique frame
+        # decoded + uploaded exactly once, gathers on device
+        preds = labeler.label_rows(df["before_image"].tolist(),
+                                   df["after_image"].tolist(), image_size)
+    else:
+        preds = []
+        for i in range(0, len(df), batch):
+            rows = df.iloc[i : i + batch]
+            before = load_images(rows["before_image"], image_size)
+            after = load_images(rows["after_image"], image_size)
+            preds.append(np.asarray(labeler(before, after)))
+        preds = np.concatenate(preds).astype(np.int64)
     df["true_actions"] = df["inverse_actions"]
     df["inverse_actions"] = preds
     out = os.path.join(os.path.dirname(feather), "data_pseudo.feather")

@@ -313,6 +313,73 @@ def test_run_train_on_device_dataset(feather, tmp_path):
     assert os.path.exists(os.path.join(models, "sample6.ckpt"))
 
 
+def test_sharded_table_matches_replicated(feather, mesh8):
+    """TPU.SHARD_DATASET: the frame table split along the data axis
+    (aggregate-HBM capacity) must produce the BIT-IDENTICAL sample stream
+    of the replicated layout — the shard_map psum_scatter gather changes
+    only where bytes live, never what the trainer sees."""
+    batcher = QLearningBatcher(feather, one_action=True, inverse_actions=True,
+                               image_size=64, seed=3)
+    rep = DeviceDataset(batcher, batch_size=8, mesh=mesh8, seed=3)
+    shd = DeviceDataset(batcher, batch_size=8, mesh=mesh8, seed=3,
+                        shard_frames=True)
+    assert shd.sharded and not rep.sharded
+    # the table really is split along 'data': each device holds 1/4 rows
+    fr = shd.tables["frames"]
+    assert fr.shape[0] % 4 == 0
+    shard_shapes = {s.data.shape for s in fr.addressable_shards}
+    assert shard_shapes == {(fr.shape[0] // 4,) + fr.shape[1:]}
+    for step in (0, 1, 17):
+        a = jax.device_get(rep.sample(step))
+        b = jax.device_get(shd.sample(step))
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"{k}@{step}")
+
+
+def test_sharded_capacity_guard_uses_aggregate(feather, mesh8):
+    """A corpus that overflows one device's budget but fits the aggregate
+    data-axis budget must be rejected replicated (pointing at
+    TPU.SHARD_DATASET) and accepted sharded."""
+    batcher = QLearningBatcher(feather, one_action=True, inverse_actions=True,
+                               image_size=64, seed=3)
+    # table = 72 frames * 64*64*3 = 884,736 bytes; limit chosen so
+    # 0.6*limit < table <= 0.6*limit*4
+    limit = 1_000_000
+    with pytest.raises(ValueError, match="SHARD_DATASET"):
+        DeviceDataset(batcher, batch_size=8, mesh=mesh8, seed=3,
+                      hbm_limit_bytes=limit)
+    dds = DeviceDataset(batcher, batch_size=8, mesh=mesh8, seed=3,
+                        hbm_limit_bytes=limit, shard_frames=True)
+    assert dds.sharded
+
+
+def test_run_train_on_sharded_device_dataset(feather, tmp_path):
+    """The product loop end-to-end with TPU.SHARD_DATASET on the virtual
+    mesh: checkpoints written, loss finite."""
+    import yaml
+
+    from video_dqn_tpu.core import ExperimentConfig
+    from video_dqn_tpu.train import run_train
+
+    exp = str(tmp_path / "exp")
+    os.makedirs(exp)
+    cfg = {
+        "DATASET": feather, "PANORAMA": False,
+        "ARCHITECTURE": "extra_capacity", "USE_INVERSE_ACTIONS": True,
+        "LOSS_CLIP": "rect", "GAMMA": 0.99, "LEARNING_RATE": 0.0001,
+        "NUM_STEPS": 4, "CHECKPOINT_INTERVAL": 2,
+        "TARGET_UPDATE_INTERVAL": 3, "SEED": 4,
+        "TPU": {"BATCH_SIZE": 8, "IMAGE_SIZE": 96, "DEVICE_DATASET": True,
+                "SHARD_DATASET": True},
+    }
+    with open(os.path.join(exp, "config.yml"), "w") as f:
+        yaml.safe_dump(cfg, f)
+    config = ExperimentConfig(exp, tensorboard=False)
+    _, loss = run_train(config, log_every=2)
+    assert np.isfinite(loss)
+    assert os.path.exists(os.path.join(exp, "models", "sample4.ckpt"))
+
+
 def test_misaligned_scan_chunk_preserves_checkpoint_cadence(
         feather, tmp_path, capsys):
     """A user-set TPU.SCAN_CHUNK that doesn't divide log/checkpoint/total

@@ -215,6 +215,57 @@ def test_assemble_episodes_schema(tmp_path, rng):
     assert (df["inverse_actions"] == 0).all()
 
 
+def test_table_labeler_matches_pairwise(tmp_path, rng):
+    """The decode-once table path (TableInverseLabeler.label_rows — each
+    unique frame decoded/uploaded ONCE, gathers on device) must produce
+    exactly the pairwise labeler's actions, including across videos and
+    through tail-batch padding."""
+    import jax
+    from PIL import Image
+
+    from video_dqn_tpu.data.episodes import make_inverse_labeler
+    from video_dqn_tpu.data.qlearning import load_images
+    from video_dqn_tpu.models.inverse import InverseActionModel
+
+    (tmp_path / "filter_out").mkdir()
+    detections = {}
+    for v in range(2):
+        vid = f"vid{v:03d}"
+        froot = tmp_path / "frames" / vid
+        froot.mkdir(parents=True)
+        n = 16
+        for i in range(1, n + 1):
+            Image.fromarray(
+                rng.integers(0, 255, (32, 32, 3), np.uint8)
+            ).save(froot / f"{i:04d}.jpg")
+        detections[vid] = {
+            i: detections_to_class_array(StubDetector(hit_rate=0.3)(
+                np.asarray([np.full((32, 32, 3), i, np.uint8)]))[0])
+            for i in range(1, n + 1)
+        }
+        np.save(tmp_path / "filter_out" / f"{vid}_filters.npy",
+                {"indoor_locs": np.arange(1, n + 1),
+                 "person_locs": np.array([])}, allow_pickle=True)
+
+    model = InverseActionModel()
+    z = np.zeros((1, 32, 32, 3), np.float32)
+    variables = model.init(jax.random.key(0), z, z, False)
+    # batch 5 against 13 rows/video forces the padded tail batch
+    labeler = make_inverse_labeler(model, variables["params"],
+                                   variables.get("batch_stats", {}),
+                                   batch_size=5)
+    assert labeler.supports_table
+
+    df = assemble_episodes(detections, str(tmp_path / "filter_out"),
+                           str(tmp_path / "frames"),
+                           inverse_labeler=labeler, image_size=32)
+    assert len(df) == 2 * 13
+    before = load_images(df["before_image"], 32)
+    after = load_images(df["after_image"], 32)
+    np.testing.assert_array_equal(
+        df["inverse_actions"].to_numpy(), labeler(before, after))
+
+
 def test_image_stream_batches(tmp_path, rng):
     from PIL import Image
 

@@ -251,6 +251,113 @@ def test_multihost_two_process_train_step(tmp_path):
     assert "MULTIHOST_PRIMARY_OK" not in outs[1]
 
 
+@pytest.mark.slow
+def test_multihost_product_trainer_matches_single_process(tmp_path):
+    """Multi-host as a PRODUCT mode (round-4 verdict #1): two coordinated
+    OS processes running the UNCHANGED train CLI
+    (`train_q_network.py --coordinator ...`) over one global 4x2 mesh,
+    each decoding only its global_batch_slice, for 24 run_train steps
+    spanning checkpoint (8) AND target-sync (10) boundaries, must
+      (a) reproduce the single-process 8-device run's loss trace, and
+      (b) write checkpoints + metrics from process 0 ONLY."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    import yaml
+
+    from video_dqn_tpu.data.synthetic import make_synthetic_dataset
+
+    feather = make_synthetic_dataset(str(tmp_path / "ds"), num_videos=3,
+                                     frames_per_video=24, image_size=96)
+    cfg = {
+        "DATASET": feather, "PANORAMA": False,
+        "ARCHITECTURE": "extra_capacity", "USE_INVERSE_ACTIONS": True,
+        "LOSS_CLIP": "rect", "GAMMA": 0.99, "LEARNING_RATE": 0.0001,
+        "NUM_STEPS": 24, "CHECKPOINT_INTERVAL": 8,
+        "TARGET_UPDATE_INTERVAL": 10, "SEED": 4,
+        "TPU": {"BATCH_SIZE": 8, "IMAGE_SIZE": 96, "MESH_MODEL": 2,
+                "COMPUTE_DTYPE": "float32"},
+    }
+    exps = {}
+    for name in ("single", "mh0", "mh1"):
+        exp = tmp_path / f"exp_{name}"
+        exp.mkdir()
+        with open(exp / "config.yml", "w") as f:
+            yaml.safe_dump(cfg, f)
+        exps[name] = str(exp)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base_env = dict(os.environ)
+    base_env["PYTHONPATH"] = repo
+    for k in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME"):
+        base_env.pop(k, None)
+
+    # ---- single-process 8-device oracle --------------------------------
+    env1 = dict(base_env)
+    env1.update(JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu",
+                XLA_FLAGS="--xla_force_host_platform_device_count=8"
+                          " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+                          " --xla_cpu_collective_call_terminate_timeout_seconds=86400")
+    r = subprocess.run(
+        [sys.executable, "train_q_network.py", "--log-every", "4",
+         exps["single"]],
+        cwd=repo, env=env1, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
+
+    # ---- two-process fleet through the SAME CLI -------------------------
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    def spawn(pid):
+        return subprocess.Popen(
+            [sys.executable, "train_q_network.py",
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--multihost-platform", "cpu", "--local-devices", "4",
+             "--log-every", "4", exps[f"mh{pid}"]],
+            cwd=repo, env=dict(base_env),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+    procs = [spawn(0), spawn(1)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+    assert "Multi-host: process 0/2" in outs[0]
+
+    def trace(exp):
+        path = os.path.join(exp, "run1", "metrics.jsonl")
+        rows = [json.loads(l) for l in open(path)]
+        return {r["step"]: r["value"] for r in rows
+                if r["tag"] == "avg_q_loss/train"}
+
+    t_single, t_mh = trace(exps["single"]), trace(exps["mh0"])
+    assert sorted(t_single) == [4, 8, 12, 16, 20, 24]
+    assert sorted(t_mh) == sorted(t_single)
+    for step in t_single:
+        np.testing.assert_allclose(
+            t_mh[step], t_single[step], rtol=1e-4,
+            err_msg=f"loss diverged at step {step}")
+
+    # (b) primary-only side effects
+    ckpts = sorted(os.listdir(os.path.join(exps["mh0"], "models")))
+    assert ckpts == ["sample16.ckpt", "sample24.ckpt", "sample8.ckpt"]
+    assert not os.path.exists(os.path.join(exps["mh1"], "models"))
+    mh1_metrics = os.path.join(exps["mh1"], "run1", "metrics.jsonl")
+    assert (not os.path.exists(mh1_metrics)
+            or os.path.getsize(mh1_metrics) == 0)
+
+
 # ---------------------------------------------------------------------------
 # training stall watchdog (core/watchdog.py — the train-side twin of the
 # eval --gather-timeout and bench VDQN_BENCH_WATCHDOG_S defenses)

@@ -18,14 +18,60 @@ def main():
                         help="resume from the latest sample<N> checkpoint")
     parser.add_argument("-d", "--delete", action="store_true",
                         help="delete stored run logs")
+    parser.add_argument("--log-every", type=int, default=100,
+                        help="metrics cadence in steps (reference logged "
+                             "each 100, train_q_network.py:236-238)")
+    # ---- multi-host fleet flags (no reference equivalent: the reference
+    # is single-process/single-GPU, train_q_network.py:275; SURVEY §5
+    # names the DCN-spanning backend as a first-class TPU addition) ----
+    parser.add_argument("--coordinator", default="",
+                        help="host:port of process 0's jax.distributed "
+                             "coordinator; presence turns on multi-host "
+                             "mode (every process runs this same CLI)")
+    parser.add_argument("--num-processes", type=int, default=0)
+    parser.add_argument("--process-id", type=int, default=-1)
+    parser.add_argument("--multihost-platform", choices=("cpu", "native"),
+                        default="native",
+                        help="cpu: force the virtual-CPU platform with "
+                             "gloo collectives (tests/CI); native: real "
+                             "accelerator fleet")
+    parser.add_argument("--local-devices", type=int, default=4,
+                        help="virtual CPU devices per process (cpu "
+                             "platform only)")
     parser.add_argument("config", help="folder containing config.yml")
     args = parser.parse_args()
+
+    if args.coordinator:
+        if args.num_processes <= 0 or args.process_id < 0:
+            parser.error("--coordinator requires --num-processes and "
+                         "--process-id")
+        from video_dqn_tpu.parallel import multihost
+
+        if args.multihost_platform == "cpu":
+            multihost.force_virtual_cpu(args.local_devices)
+        multihost.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        import jax
+
+        if jax.process_count() != args.num_processes:
+            raise RuntimeError(
+                f"joined {jax.process_count()} processes, expected "
+                f"{args.num_processes} — jax.distributed did not form "
+                "the cluster")
 
     from video_dqn_tpu.core import ExperimentConfig, latest_checkpoint_step
     from video_dqn_tpu.train import run_train
 
-    config = ExperimentConfig(args.config, remove=args.delete, resume=args.resume)
-    config.write_config_log()
+    # metrics/config-log side effects are primary-only in a fleet; every
+    # process still loads the same frozen config tree
+    primary = args.process_id <= 0
+    config = ExperimentConfig(args.config, remove=args.delete and primary,
+                              resume=args.resume, tensorboard=primary)
+    if primary:
+        config.write_config_log()
 
     resume_from = -1
     if args.resume:
@@ -66,7 +112,8 @@ def main():
                         f"value_map_{name}/{label}", img, sample_number
                     )
 
-    run_train(config, resume_from, visualize_hook=visualize_hook)
+    run_train(config, resume_from, log_every=args.log_every,
+              visualize_hook=visualize_hook)
 
 
 if __name__ == "__main__":

@@ -98,6 +98,14 @@ def get_cfg_defaults() -> ConfigNode:
                     # reference DataLoader's shuffle semantics);
                     # 'uniform' = uniform with replacement
                     "DEVICE_SAMPLING": "epoch",
+                    # shard the DEVICE_DATASET frame table along the
+                    # 'data' mesh axis (1/n_data of the table per device)
+                    # instead of replicating it: corpus capacity scales to
+                    # AGGREGATE data-axis HBM; each step pays one
+                    # psum_scatter of the batch's frames over ICI. The
+                    # sample stream is bit-identical to the replicated
+                    # layout (data/device_dataset.py gather rationale).
+                    "SHARD_DATASET": False,
                     # DEVICE_DATASET dispatch granularity: run this many
                     # fused sampler+train steps inside ONE XLA program
                     # (lax.scan), so per-step dispatch cost vanishes.

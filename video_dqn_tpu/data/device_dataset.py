@@ -70,7 +70,8 @@ class DeviceDataset:
     def __init__(self, batcher, batch_size: int, mesh=None, seed: int = 0,
                  decode_chunk: int = 512,
                  hbm_limit_bytes: Optional[int] = None,
-                 sampling: str = "epoch"):
+                 sampling: str = "epoch",
+                 shard_frames: bool = False):
         self.batch_size = int(batch_size)
         self.n = len(batcher)
         if self.batch_size > self.n:
@@ -94,35 +95,68 @@ class DeviceDataset:
             paths[j] = p
 
         # ---- capacity guard (BEFORE the minutes-long decode) ---------------
-        # The table is replicated per device, so the per-device limit is the
-        # binding one on any mesh. Fail loudly up front: without this an
-        # oversized corpus decodes for minutes and then dies in an opaque
-        # allocator OOM mid-upload.
+        # Replicated mode: the per-device limit binds on any mesh. Sharded
+        # mode (TPU.SHARD_DATASET): the table is split along the 'data'
+        # axis, so the budget is the AGGREGATE of the data-axis shards —
+        # n_data x the corpus capacity. Fail loudly up front: without this
+        # an oversized corpus decodes for minutes and then dies in an
+        # opaque allocator OOM mid-upload.
+        from video_dqn_tpu.parallel.mesh import DATA_AXIS
+
+        n_data = int(mesh.shape[DATA_AXIS]) if mesh is not None else 1
+        # a 1-shard data axis degenerates to the replicated layout
+        self.sharded = bool(shard_frames and mesh is not None and n_data > 1)
+        if self.sharded and self.batch_size % n_data:
+            raise ValueError(
+                f"TPU.SHARD_DATASET: batch_size {batch_size} must divide "
+                f"across the {n_data}-way data axis")
         s = batcher.image_size
         frame_bytes = len(uniq) * s * s * 3
         limit = hbm_limit_bytes if hbm_limit_bytes is not None \
             else _device_bytes_limit(mesh)
-        if limit is not None and frame_bytes > self.HBM_BUDGET_FRACTION * limit:
+        scale = n_data if self.sharded else 1
+        if limit is not None and frame_bytes > self.HBM_BUDGET_FRACTION * limit * scale:
+            hint = ("Use the streaming infeed (TPU.DEVICE_DATASET: false, "
+                    "optionally TPU.DECODE_WORKERS/TPU.DECODE_CACHE_MB) or "
+                    "a smaller TPU.IMAGE_SIZE."
+                    if self.sharded or n_data == 1 else
+                    "Shard the table across the data axis "
+                    "(TPU.SHARD_DATASET: true — aggregate capacity "
+                    f"{self.HBM_BUDGET_FRACTION * limit * n_data / 1e9:.2f} "
+                    "GB), or use the streaming infeed "
+                    "(TPU.DEVICE_DATASET: false).")
             raise ValueError(
                 f"TPU.DEVICE_DATASET: the frame table ({len(uniq)} unique "
                 f"{s}px frames = {frame_bytes / 1e9:.2f} GB) exceeds "
-                f"{self.HBM_BUDGET_FRACTION:.0%} of per-device HBM "
-                f"({limit / 1e9:.2f} GB). Use the streaming infeed "
-                f"(TPU.DEVICE_DATASET: false, optionally TPU.DECODE_WORKERS/"
-                f"TPU.DECODE_CACHE_MB) or a smaller TPU.IMAGE_SIZE."
+                f"{self.HBM_BUDGET_FRACTION:.0%} of "
+                f"{'aggregate data-axis' if self.sharded else 'per-device'} "
+                f"HBM ({limit * scale / 1e9:.2f} GB). " + hint
             )
 
         # ---- decode once (native batched JPEG stage, chunked) -------------
         from video_dqn_tpu.data.qlearning import load_images
-        frames = np.empty((len(paths), s, s, 3), np.uint8)
+        # sharded layout pads the table to a multiple of the shard count
+        # (zero rows are never indexed — row maps only reference [0, U))
+        pad = (-len(paths)) % n_data if self.sharded else 0
+        frames = np.zeros((len(paths) + pad, s, s, 3), np.uint8)
         for i in range(0, len(paths), decode_chunk):
             chunk = paths[i : i + decode_chunk]
             frames[i : i + len(chunk)] = load_images(chunk, s)
         self.hbm_bytes = frames.nbytes
+        self.frame_rows = frames.shape[0]
 
         # ---- one-time upload ----------------------------------------------
-        put = (lambda x: jax.device_put(x, replicated(mesh))) if mesh is not None \
-            else jax.device_put
+        # multi-process runs assemble the replicated tables through
+        # make_array_from_callback (multihost.place_tree) — every process
+        # decodes the same corpus and serves its local devices; plain
+        # device_put cannot target the other processes' devices
+        if mesh is not None:
+            from video_dqn_tpu.parallel import multihost
+
+            rep = replicated(mesh)
+            put = lambda x: multihost.place_tree(x, rep)
+        else:
+            put = jax.device_put
         # The tables are passed to the jitted sampler as ARGUMENTS, never
         # captured in its closure: jit embeds closed-over device arrays
         # into the lowered program as literal constants, so a closure
@@ -132,8 +166,17 @@ class DeviceDataset:
         # "A large amount of constants were captured during lowering").
         # As arguments they are program parameters: zero bytes at compile,
         # zero bytes per call.
+        if self.sharded:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from video_dqn_tpu.parallel import multihost
+
+            frames_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+            put_frames = lambda x: multihost.place_tree(x, frames_sharding)
+        else:
+            put_frames = put
         self._tables = {
-            "frames": put(frames),
+            "frames": put_frames(frames),
             "before_idx": put(stacks["before_image"]),
             "after_idx": put(stacks["after_image"]),
             "action": put(batcher.action.astype(np.int32)),
@@ -155,6 +198,46 @@ class DeviceDataset:
         # shuffle DataLoader (train_q_network.py:60-67,98)
         steps_per_epoch = n // b
 
+        if self.sharded:
+            # TPU.SHARD_DATASET gather: the frame table lives split along
+            # the 'data' axis (1/n_data per device — aggregate-HBM corpora),
+            # while the batch's frame indices are an arbitrary function of
+            # the draw. XLA's SPMD partitioner would resolve a plain gather
+            # from a sharded operand by all-gathering the whole TABLE per
+            # step; instead shard_map expresses the minimal collective:
+            # each device gathers the requested rows IT owns (clipped local
+            # take + ownership mask), and one psum_scatter over 'data' both
+            # sums the per-shard contributions and deals each device its
+            # own batch slice — wire per step = one batch of frames, not
+            # the table, and the result lands already batch-sharded (the
+            # layout the train step's with_sharding_constraint wants).
+            # The draw itself is unchanged, so the sample stream is
+            # BIT-IDENTICAL to the replicated layout (pinned by
+            # tests/test_device_dataset.py::test_sharded_table_matches_replicated).
+            from jax.sharding import PartitionSpec as P
+
+            shard_rows = self.frame_rows // n_data
+
+            def gather_frames(frames, idx):
+                def body(frames_shard, idx_rep):
+                    off = jax.lax.axis_index(DATA_AXIS) * shard_rows
+                    local = jnp.take(
+                        frames_shard,
+                        jnp.clip(idx_rep - off, 0, shard_rows - 1), axis=0)
+                    owned = (idx_rep >= off) & (idx_rep < off + shard_rows)
+                    contrib = jnp.where(
+                        owned[..., None, None, None], local, 0)
+                    return jax.lax.psum_scatter(
+                        contrib, DATA_AXIS, scatter_dimension=0, tiled=True)
+
+                return jax.shard_map(
+                    body, mesh=mesh,
+                    in_specs=(P(DATA_AXIS), P()),
+                    out_specs=P(DATA_AXIS))(frames, idx)
+        else:
+            def gather_frames(frames, idx):
+                return jnp.take(frames, idx, axis=0)
+
         def sample(tables, base_key, step: jax.Array):
             if sampling == "epoch":
                 epoch = step // steps_per_epoch
@@ -167,12 +250,10 @@ class DeviceDataset:
                 key = jax.random.fold_in(
                     jax.random.wrap_key_data(base_key), step)
                 rows = jax.random.randint(key, (b,), 0, n)
-            before = jnp.take(tables["frames"],
-                              jnp.take(tables["before_idx"], rows, axis=0),
-                              axis=0)
-            after = jnp.take(tables["frames"],
-                             jnp.take(tables["after_idx"], rows, axis=0),
-                             axis=0)
+            before = gather_frames(
+                tables["frames"], jnp.take(tables["before_idx"], rows, axis=0))
+            after = gather_frames(
+                tables["frames"], jnp.take(tables["after_idx"], rows, axis=0))
             return {
                 "before": before,  # (B, F, S, S, 3) uint8
                 "after": after,

@@ -114,37 +114,153 @@ def assemble_episodes(
     all_samples = pd.concat(frames, ignore_index=True)
 
     if inverse_labeler is not None:
-        from .qlearning import load_images
+        if getattr(inverse_labeler, "supports_table", False):
+            # decode-once/table path: each unique frame is decoded and
+            # shipped to the device exactly ONCE (see TableInverseLabeler)
+            all_samples["inverse_actions"] = inverse_labeler.label_rows(
+                all_samples["before_image"].tolist(),
+                all_samples["after_image"].tolist(),
+                image_size,
+            )
+        else:
+            # plain-callable fallback: decode each pair per batch
+            from .qlearning import load_images
 
-        acts = []
-        n = len(all_samples)
-        for i in range(0, n, inverse_batch):
-            rows = all_samples.iloc[i : i + inverse_batch]
-            before = load_images(rows["before_image"], image_size)
-            after = load_images(rows["after_image"], image_size)
-            acts.append(np.asarray(inverse_labeler(before, after)))
-        all_samples["inverse_actions"] = np.concatenate(acts).astype(np.int64)
+            acts = []
+            n = len(all_samples)
+            for i in range(0, n, inverse_batch):
+                rows = all_samples.iloc[i : i + inverse_batch]
+                before = load_images(rows["before_image"], image_size)
+                after = load_images(rows["after_image"], image_size)
+                acts.append(np.asarray(inverse_labeler(before, after)))
+            all_samples["inverse_actions"] = np.concatenate(acts).astype(
+                np.int64)
     return all_samples
 
 
-def make_inverse_labeler(model, params, batch_stats):
-    """Jitted batched inverse-action labeler: argmax of the calibrated
-    logits (reference process_episodes_real.py:176-177)."""
-    import jax
-    import jax.numpy as jnp
+class TableInverseLabeler:
+    """Batched inverse-action labeler (argmax of the calibrated logits,
+    reference process_episodes_real.py:176-177) with a decode-once frame
+    TABLE fast path.
 
-    from video_dqn_tpu.ops.image import normalize_imagenet
+    The reference labels (before, after) pairs in host batches of 8
+    (:164-179) — each frame is decoded AND shipped to the device about
+    twice (frame i is row i's before and row i-stride's after). At the
+    lifecycle's scale that per-batch wire was the assemble stage's
+    bottleneck (44 rows/s, BASELINE.md stage rows, 20-35x slower than
+    every neighboring stage). TPU-native shape instead mirrors
+    data/device_dataset.py:
+      * rows are grouped per VIDEO (before/after always live in the same
+        video), so the unique-frame table stays bounded by the longest
+        video regardless of corpus size;
+      * each unique frame is decoded once (native batched JPEG stage) and
+        uploaded once;
+      * the (before, after) gathers happen ON DEVICE inside the jitted
+        forward, batch-size rows at a time — per-batch host->device
+        traffic is two int32 index vectors;
+      * tables are jit ARGUMENTS (never closure captures — jit would bake
+        them into the program as literal constants, the multi-GB compile
+        wedge documented in device_dataset.py) and are padded to power-of-
+        two buckets so XLA compiles O(log max_video_len) programs, not one
+        per video length.
 
-    @jax.jit
-    def run(before, after):
-        prep = lambda x: normalize_imagenet(x.astype(jnp.float32) / 255.0)
-        _, logits = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            prep(before), prep(after), False,
-        )
-        return jnp.argmax(logits, axis=-1)
+    Also a plain callable `(before_uint8, after_uint8) -> actions` for
+    the pairwise contract assemble_episodes' fallback and
+    pseudo-label tooling use."""
 
-    return lambda b, a: np.asarray(run(b, a))
+    supports_table = True
+
+    def __init__(self, model, params, batch_stats, batch_size: int = 512,
+                 decode_chunk: int = 512):
+        import jax
+        import jax.numpy as jnp
+
+        from video_dqn_tpu.ops.image import normalize_imagenet
+
+        self.batch_size = int(batch_size)
+        self.decode_chunk = int(decode_chunk)
+
+        def fwd(before, after):
+            prep = lambda x: normalize_imagenet(x.astype(jnp.float32) / 255.0)
+            _, logits = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                prep(before), prep(after), False,
+            )
+            return jnp.argmax(logits, axis=-1)
+
+        @jax.jit
+        def run_pairs(before, after):
+            return fwd(before, after)
+
+        @jax.jit
+        def run_table(frames, bidx, aidx):
+            return fwd(jnp.take(frames, bidx, axis=0),
+                       jnp.take(frames, aidx, axis=0))
+
+        self._run_pairs = run_pairs
+        self._run_table = run_table
+
+    def __call__(self, before, after):
+        return np.asarray(self._run_pairs(before, after))
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 256
+        while b < n:
+            b *= 2
+        return b
+
+    def label_rows(self, before_paths, after_paths, image_size: int):
+        """Label every (before, after) path pair; returns (N,) int64."""
+        import jax
+
+        from .qlearning import load_images
+
+        n = len(before_paths)
+        out = np.empty(n, np.int64)
+        groups: Dict[str, list] = {}
+        for r, p in enumerate(before_paths):
+            groups.setdefault(os.path.dirname(p), []).append(r)
+
+        for rows in groups.values():
+            uniq: Dict[str, int] = {}
+            bidx = np.empty(len(rows), np.int32)
+            aidx = np.empty(len(rows), np.int32)
+            for j, r in enumerate(rows):
+                bidx[j] = uniq.setdefault(before_paths[r], len(uniq))
+                aidx[j] = uniq.setdefault(after_paths[r], len(uniq))
+            paths = [None] * len(uniq)
+            for p, k in uniq.items():
+                paths[k] = p
+
+            table = np.zeros(
+                (self._bucket(len(paths)), image_size, image_size, 3),
+                np.uint8)
+            for i in range(0, len(paths), self.decode_chunk):
+                chunk = paths[i : i + self.decode_chunk]
+                table[i : i + len(chunk)] = load_images(chunk, image_size)
+            table = jax.device_put(table)
+
+            b = self.batch_size
+            for i in range(0, len(rows), b):
+                nb = min(b, len(rows) - i)
+                # pad the tail batch to the full static shape (repeat the
+                # window's first row) so XLA compiles one program per
+                # (bucket, batch) pair
+                bb = np.resize(bidx[i : i + nb], b)
+                ab = np.resize(aidx[i : i + nb], b)
+                acts = np.asarray(self._run_table(table, bb, ab))[:nb]
+                out[np.asarray(rows[i : i + nb])] = acts
+        return out
+
+
+def make_inverse_labeler(model, params, batch_stats,
+                         batch_size: int = 512) -> TableInverseLabeler:
+    """Jitted batched inverse-action labeler; callable on (before, after)
+    uint8 batches, with the decode-once table fast path assemble_episodes
+    uses (TableInverseLabeler rationale)."""
+    return TableInverseLabeler(model, params, batch_stats,
+                               batch_size=batch_size)
 
 
 def process_episodes(

@@ -220,9 +220,12 @@ class QLearningBatcher:
             "valid_mask": self.valid_mask[indices],
         }
 
-    def batches(self, batch_size: int):
-        """Infinite shuffled batch stream (the reference's loopLoader +
-        shuffle DataLoader, train_q_network.py:60-67,98)."""
+    def index_stream(self, batch_size: int):
+        """Infinite shuffled row-index stream (shuffle + drop_last, the
+        reference's loopLoader semantics, train_q_network.py:60-67,98).
+        Deterministic in the seed, so every process of a multi-host run
+        derives the SAME global index sequence and decodes only its
+        slice (train/dqn.py multi-host stream)."""
         if batch_size > self.n:
             raise ValueError(
                 f"batch_size {batch_size} exceeds dataset size {self.n}; "
@@ -231,4 +234,10 @@ class QLearningBatcher:
         while True:
             perm = self._rng.permutation(self.n)
             for i in range(0, self.n - batch_size + 1, batch_size):  # drop_last
-                yield self.get_batch(perm[i : i + batch_size])
+                yield perm[i : i + batch_size]
+
+    def batches(self, batch_size: int):
+        """Infinite shuffled batch stream (the reference's loopLoader +
+        shuffle DataLoader, train_q_network.py:60-67,98)."""
+        for rows in self.index_stream(batch_size):
+            yield self.get_batch(rows)

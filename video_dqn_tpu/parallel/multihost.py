@@ -44,10 +44,92 @@ def initialize(
         )
 
 
+def force_virtual_cpu(local_devices: int = 4) -> None:
+    """Force THIS process onto the virtual-CPU platform with gloo
+    cross-process collectives (for multi-process runs without real
+    accelerators — tests, CI). Must run before the first jax backend init:
+    XLA_FLAGS parses once, and this container's sitecustomize exports
+    JAX_PLATFORMS=axon which must be overridden in BOTH env and config
+    (multihost_smoke.py rationale)."""
+    import os
+
+    import jax
+
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={local_devices}"
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=86400"
+    ).strip()
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+
 def is_primary() -> bool:
     import jax
 
     return jax.process_index() == 0
+
+
+def place_tree(tree, shardings):
+    """Place a host pytree on the mesh per `shardings` (a matching pytree
+    of NamedShardings). Single-process: plain device_put. Multi-process:
+    jax.device_put cannot target non-addressable devices, so each leaf is
+    assembled with make_array_from_callback — every process materializes
+    the SAME host value (deterministic init / checkpoint read), and the
+    callback serves each local device its shard of it."""
+    import jax
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+
+    def put(x, sh):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, sh,
+                                            lambda idx: arr[idx])
+
+    return jax.tree_util.tree_map(put, tree, shardings)
+
+
+def device_get_local(tree):
+    """jax.device_get that also works on global (multi-process) arrays,
+    PROVIDED this process's addressable shards cover every element —
+    true for replicated state and for TP-sharded params whose model axis
+    lies within the process (the trainer's layouts). Raises loudly
+    otherwise: checkpointing from partial data would silently corrupt.
+
+    Not a collective — safe under primary_only gating (a
+    process_allgather there would deadlock the non-primary processes)."""
+    import jax
+    import numpy as np
+
+    def get(x):
+        if not isinstance(x, jax.Array) or x.is_fully_addressable:
+            return np.asarray(jax.device_get(x))
+        out = np.empty(x.shape, x.dtype)
+        covered = set()
+        for s in x.addressable_shards:
+            out[s.index] = np.asarray(s.data)
+            covered.add(tuple(
+                (0 if sl.start is None else int(sl.start),
+                 dim if sl.stop is None else int(sl.stop))
+                for sl, dim in zip(s.index, x.shape)))
+        n_covered = sum(
+            int(np.prod([hi - lo for lo, hi in region], initial=1))
+            for region in covered)
+        if n_covered != x.size:
+            raise ValueError(
+                f"array of shape {x.shape} is not reconstructible from "
+                f"this process's shards ({n_covered}/{x.size} elements "
+                "local) — a sharding layout split across processes cannot "
+                "be checkpointed with device_get_local; gather it "
+                "collectively instead")
+        return out
+
+    return jax.tree_util.tree_map(get, tree)
 
 
 def primary_only(fn: Callable) -> Callable:

@@ -54,23 +54,14 @@ def main(argv=None) -> int:
 
     import jax
 
+    from video_dqn_tpu.parallel import multihost
+
     if args.platform == "cpu":
         # must precede the first backend init (XLA_FLAGS parses once);
-        # override the ambient platform unconditionally — this container
+        # overrides the ambient platform unconditionally — this container
         # exports JAX_PLATFORMS=axon, and half-forcing (config update
         # without the XLA_FLAGS device count) yields a 1-device CPU host
-        os.environ["JAX_PLATFORM_NAME"] = "cpu"
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={args.local_devices}"
-            + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
-            + " --xla_cpu_collective_call_terminate_timeout_seconds=86400"
-        ).strip()
-        jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_cpu_collectives_implementation", "gloo")
-
-    from video_dqn_tpu.parallel import multihost
+        multihost.force_virtual_cpu(args.local_devices)
 
     multihost.initialize(
         coordinator_address=args.coordinator,

@@ -307,10 +307,33 @@ def state_shardings(mesh, state: TrainState) -> TrainState:
 def jit_train_step(model, config, tx, mesh, state: TrainState):
     """Place the state sharded on the mesh and jit the donated step.
     Output shardings follow input shardings by XLA propagation."""
+    from video_dqn_tpu.parallel import multihost
+
     shardings = state_shardings(mesh, state)
-    sharded_state = jax.device_put(state, shardings)
+    sharded_state = multihost.place_tree(state, shardings)
     jitted = jax.jit(make_train_step(model, config, tx), donate_argnums=(0,))
     return jitted, sharded_state, shardings
+
+
+def _multihost_batch_stream(batcher, batch_size: int, mesh):
+    """Host-fed infeed for a multi-process run: every process derives the
+    SAME global row-index sequence (the batcher RNG is seeded identically
+    everywhere), decodes ONLY its own global_batch_slice of each batch,
+    and contributes it to a globally-sharded array
+    (multihost.make_global_array). Decode work therefore scales 1/P per
+    host — the multi-host analogue of the reference's DataLoader workers
+    (train_q_network.py:98), which had no multi-machine form at all."""
+    from video_dqn_tpu.parallel import multihost
+
+    sharding = batch_sharding(mesh)
+    start, size = multihost.global_batch_slice(batch_size)
+    for rows in batcher.index_stream(batch_size):
+        local = batcher.get_batch(rows[start : start + size])
+        yield {
+            k: multihost.make_global_array(
+                sharding, (batch_size,) + v.shape[1:], v, start)
+            for k, v in local.items()
+        }
 
 
 def make_fused_device_step(model, config, tx, mesh, sample_body):
@@ -418,6 +441,26 @@ def run_train(
         mesh = make_mesh(config.TPU.MESH_DATA, config.TPU.MESH_MODEL)
     batch_size = int(config.TPU.BATCH_SIZE)
 
+    # Multi-host mode (jax.distributed already initialized by the CLI or
+    # the orchestrator): every process runs this same loop over the global
+    # mesh; host-side SIDE EFFECTS (checkpoints, metrics, value maps) are
+    # primary-only, while every process participates in every dispatch.
+    n_proc = jax.process_count()
+    primary = jax.process_index() == 0
+    if n_proc > 1:
+        if batch_stream is not None:
+            raise ValueError(
+                "TPU.DECODE_WORKERS and multi-host training don't compose: "
+                "each process already decodes only its "
+                "global_batch_slice — set DECODE_WORKERS: 0")
+        if batch_size % n_proc:
+            raise ValueError(
+                f"TPU.BATCH_SIZE {batch_size} must divide evenly across "
+                f"{n_proc} processes")
+        print(f"Multi-host: process {jax.process_index()}/{n_proc}, "
+              f"{len(jax.local_devices())} local / {len(jax.devices())} "
+              f"global devices")
+
     model, state, tx = create_train_state(config, jax.random.key(config.SEED))
 
     start_step = 0
@@ -461,11 +504,16 @@ def run_train(
 
         dds = DeviceDataset(
             batcher, batch_size, mesh=mesh, seed=config.SEED,
-            sampling=str(getattr(config.TPU, "DEVICE_SAMPLING", "epoch")))
+            sampling=str(getattr(config.TPU, "DEVICE_SAMPLING", "epoch")),
+            shard_frames=bool(getattr(config.TPU, "SHARD_DATASET", False)))
+        layout = (f"sharded 1/{mesh.shape['data']} per device"
+                  if dds.sharded else "replicated")
         print(f"Device dataset: {dds.n} rows, "
-              f"{dds.hbm_bytes / 1e9:.2f} GB of frames in HBM")
+              f"{dds.hbm_bytes / 1e9:.2f} GB of frames in HBM ({layout})")
+        from video_dqn_tpu.parallel import multihost
+
         shardings = state_shardings(mesh, state)
-        state = jax.device_put(state, shardings)
+        state = multihost.place_tree(state, shardings)
 
         chunk = int(getattr(config.TPU, "SCAN_CHUNK", 0))
         # largest chunk dividing every host boundary: the loop only sees
@@ -506,11 +554,16 @@ def run_train(
     else:
         step_fn, state, _ = jit_train_step(model, config, tx, mesh, state)
         dispatch = step_fn
-        batches = prefetch_to_device(
-            batch_stream if batch_stream is not None else batcher.batches(batch_size),
-            sharding=batch_sharding(mesh),
-            depth=int(config.TPU.PREFETCH_DEPTH),
-        )
+        if n_proc > 1:
+            # per-process slice decode + global-array assembly; the jitted
+            # step's async dispatch overlaps the next slice's decode
+            batches = _multihost_batch_stream(batcher, batch_size, mesh)
+        else:
+            batches = prefetch_to_device(
+                batch_stream if batch_stream is not None else batcher.batches(batch_size),
+                sharding=batch_sharding(mesh),
+                depth=int(config.TPU.PREFETCH_DEPTH),
+            )
     sample_number = start_step
     # Stall defense (core/watchdog.py rationale): a dropped tunnel blocks
     # the loop forever at a dispatch/sync, so no orchestrator can restart
@@ -557,18 +610,31 @@ def run_train(
             # the EMA loss lives on device; only sync at logging/checkpoint
             # boundaries so the dispatch pipeline stays full.
             if sample_number % log_every == 0:
+                # a replicated scalar is readable on every process; only
+                # the primary WRITES it (multi-host file-effect gating)
                 running_loss = float(metrics["ema_loss"])
-                config.writer.add_scalar("avg_q_loss/train", running_loss, sample_number)
-                rate = log_every * batch_size / (time.time() - t0)
-                config.writer.add_scalar("frames_per_sec/train", rate, sample_number)
+                if primary:
+                    config.writer.add_scalar(
+                        "avg_q_loss/train", running_loss, sample_number)
+                    rate = log_every * batch_size / (time.time() - t0)
+                    config.writer.add_scalar(
+                        "frames_per_sec/train", rate, sample_number)
                 t0 = time.time()
             if sample_number % int(config.CHECKPOINT_INTERVAL) == 0:
-                save_checkpoint(config.models_dir, sample_number, jax.device_get(state))
-                # value-map rendering at checkpoints — properly gated (the
-                # reference's equivalent crashed on an undefined houses list
-                # when VISUALIZATION_DATA_ROOT was unset, train_q_network.py:248-250)
-                if visualize_hook is not None and config.VISUALIZATION_DATA_ROOT:
-                    visualize_hook(model, state, sample_number)
+                if primary:
+                    from video_dqn_tpu.parallel import multihost
+
+                    # device_get_local: non-collective read of this
+                    # process's shards (covers replicated + in-process TP
+                    # layouts), so gating it primary-only cannot deadlock
+                    save_checkpoint(config.models_dir, sample_number,
+                                    multihost.device_get_local(state))
+                    # value-map rendering at checkpoints — properly gated
+                    # (the reference's equivalent crashed on an undefined
+                    # houses list when VISUALIZATION_DATA_ROOT was unset,
+                    # train_q_network.py:248-250)
+                    if visualize_hook is not None and config.VISUALIZATION_DATA_ROOT:
+                        visualize_hook(model, state, sample_number)
                 if watchdog is not None:
                     watchdog.beat()
     finally:
