@@ -101,8 +101,11 @@ class StubDetector:
     def __init__(self, hit_rate: float = 0.15, seed: int = 0):
         self.hit_rate = hit_rate
         self.seed = seed
+        self.calls = 0  # one call per fused reasoning stop (see
+        # models/detector/inference.FlaxDetector.calls)
 
     def __call__(self, images, class_label: str = None) -> List[Dict]:
+        self.calls += 1
         if class_label is not None:
             # eval-fusion contract (one image, one class -> boxes, scores;
             # reference evaluate.py:117-134 / models/detector/inference.py)

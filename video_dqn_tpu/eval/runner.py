@@ -193,4 +193,9 @@ def run_policy(
             logger.write(epind, out)
     if env is not None:
         env.close()
+    calls = getattr(detector, "calls", None)
+    if calls is not None:
+        # one fused call per reasoning stop — lets artifact scripts record
+        # stops/episode without instrumenting the policy
+        print(f"Detector calls: {calls}", flush=True)
     return logger

@@ -30,8 +30,13 @@ class FlaxDetector:
         self._run = run
         self._device_get = jax.device_get
         self.score_thresh = score_thresh
+        # batched-call count: one call == one fused reasoning stop in the
+        # eval policy (all views of a stop arrive as a single batch), so
+        # the episode loop can report stops/episode for in-situ artifacts
+        self.calls = 0
 
     def __call__(self, images, class_label: Optional[str] = None):
+        self.calls += 1
         images = np.asarray(images)
         single = images.ndim == 3
         if single:
