@@ -238,6 +238,12 @@ def main():
     ap.add_argument("--inverse-walk-steps", type=int, default=250)
     ap.add_argument("--inverse-steps", type=int, default=1500)
     ap.add_argument("--inverse-batch", type=int, default=128)
+    ap.add_argument("--corpus-only", action="store_true",
+                    help="stop after the CPU-side corpus stages (encode/"
+                         "extract/filter + stub detect) — lets a scale "
+                         "probe prepare its corpus while the chip is "
+                         "busy elsewhere; re-run without the flag to "
+                         "resume at the device stages")
     ap.add_argument("--skip-stub-variant", action="store_true",
                     help="skip the stub-detector composition pass "
                          "(oracle-detections variant only)")
@@ -287,26 +293,35 @@ def main():
         emit("lifecycle_filter_frames_per_sec",
              args.videos * args.video_steps / dt, "frames/sec")
 
-    # ---- 5a. inverse model (zero action labels) ---------------------------
-    from video_dqn_tpu.core import latest_checkpoint_step
-
-    if latest_checkpoint_step(os.path.join(root, "inverse_model")) is None:
-        train_inverse(args, root)
-
     det_path = os.path.join(frames_dir, "real_detections_raw.npy")
-    results = {}
+    stub_feather = os.path.join(root, "data_stub.feather")
 
-    # ---- 4+5 stub variant: all five CLIs, unchanged -----------------------
-    if not args.skip_stub_variant:
+    # ---- 4 stub detect (CPU; part of the corpus phase) ---------------------
+    if not args.skip_stub_variant and not os.path.exists(det_path) \
+            and not os.path.exists(stub_feather):
         dt, out = run_cli(
             ["dataset/detect_real_videos.py", "--stub", "--location", root,
              "--image-size", str(args.size)],
             cpu=True)
         emit("lifecycle_detect_stub_frames_per_sec",
              args.videos * args.video_steps / dt, "frames/sec")
+
+    if args.corpus_only:
+        _flush_rows(args)
+        print("corpus phase complete (--corpus-only); re-run without the "
+              "flag for the device stages", flush=True)
+        return
+
+    # ---- 5a. inverse model (zero action labels) ---------------------------
+    from video_dqn_tpu.core import latest_checkpoint_step
+
+    if latest_checkpoint_step(os.path.join(root, "inverse_model")) is None:
+        train_inverse(args, root)
+
+    # ---- 5 stub variant: all five CLIs, unchanged --------------------------
+    if not args.skip_stub_variant and not os.path.exists(stub_feather):
         assemble(args, root, "stub")
-        shutil.move(os.path.join(root, "data.feather"),
-                    os.path.join(root, "data_stub.feather"))
+        shutil.move(os.path.join(root, "data.feather"), stub_feather)
 
     # ---- 4' oracle detections: the converted-weights stand-in -------------
     # (pretrained Mask R-CNN weights are environment-blocked; the sidecar
@@ -368,8 +383,12 @@ def main():
     emit("lifecycle_oracle_spl", _parse_mean_spl(out), "mean SPL",
          episodes=args.episodes)
 
-    # merge with rows from earlier (resumed) invocations: stages whose
-    # artifacts already existed were skipped this run and emitted nothing
+    _flush_rows(args)
+
+
+def _flush_rows(args):
+    """Merge this invocation's rows with earlier (resumed) ones: stages
+    whose artifacts already existed were skipped and emitted nothing."""
     rows_path = os.path.join(args.out, "lifecycle_rows.json")
     merged = {}
     if os.path.exists(rows_path):
