@@ -185,10 +185,19 @@ def main():
                 "MODEL_NUMBER": int(number), "SLAM": True, "SEED": 1,
                 "RESULT_LOCATION": os.path.join(args.out, f"results_{tag}"),
             }, f)
-        rc, dt, out = run_cli(
-            ["evaluation/run.py", "--workload", str(args.episodes),
-             "--furnished-env", "--batched", "8", "--pipeline-depth", "2",
-             "-r", cfg], cpu=args.eval_cpu)
+        # -r resumes from result shards, so a gather-watchdog trip (tunnel
+        # drop) costs at most one in-flight cohort per retry.
+        for attempt in range(3):
+            rc, dt, out = run_cli(
+                ["evaluation/run.py", "--workload", str(args.episodes),
+                 "--furnished-env", "--batched", "8", "--pipeline-depth",
+                 "2", "-r", cfg], cpu=args.eval_cpu, check=False)
+            if rc == 0:
+                break
+            print(f"eval[{tag}] attempt {attempt} exited {rc}; retrying "
+                  f"with -r\n{out[-1500:]}", flush=True)
+        else:
+            sys.exit(f"eval[{tag}] failed after retries")
         spl = parse_mean_spl(out)
         emit(f"ps_real_spl_{tag}", spl, "mean SPL",
              episodes=args.episodes, model_number=int(number),
